@@ -1,0 +1,71 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+import graft.graph._
+import graft.ckpt.IterMetrics
+
+/** Synchronous label propagation (community detection) — the
+  * north_rule's fourth algorithm. The reference ships only the
+  * min-label variant (its CC program, src/apps/cc.h, doubles as LPA
+  * per SURVEY.md §2.8); this is the full frequency-based LPA with a
+  * DETERMINISTIC tie-break (max count, then min label) so results are
+  * exactly reproducible run-to-run (north_rule: label assignments
+  * exact).
+  *
+  * Each superstep is two hash aggregations instead of the engine's
+  * one: count labels per (vertex, label), then arg-max per vertex via
+  * `max(struct(count, -label))` — both stay in whole-stage codegen
+  * with map-side partial aggregation; the adjacency side never moves.
+  */
+object LabelPropagation {
+
+  def run(edges: DataFrame, parts: Int, maxIters: Int = 10): RunResult = {
+    val und = GraphShaping.shape(edges,
+      EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+    val adj = Adjacency.build(und, parts)
+    runOnAdjacency(adj, maxIters)
+  }
+
+  def runOnAdjacency(adj: Adjacency, maxIters: Int): RunResult = {
+    val metrics = ArrayBuffer.empty[IterMetrics]
+    var state = adj.vertices
+      .select(col("vid"), col("vid").as("label"), lit(true).as("changed"))
+      .localCheckpoint(true)
+    var iter = 0
+    var active = adj.numVertices
+
+    while (active > 0 && iter < maxIters) {
+      val t0 = System.nanoTime()
+      val msgs = state.select(col("vid"), col("label").as("msg"))
+        .repartition(adj.parts, col("vid"))
+
+      val newLabels = adj.out
+        .join(msgs, adj.out("src") === msgs("vid"), "inner")
+        .select(col("msg"), explode(col("nbrs")).as("e"))
+        .groupBy(col("e.dst").as("vid"), col("msg").as("nbrLabel"))
+        .agg(count(lit(1)).as("cnt"))
+        // arg-max with deterministic tie-break: highest count wins,
+        // ties resolved toward the SMALLEST label (hence -nbrLabel in
+        // the struct ordering).
+        .groupBy(col("vid"))
+        .agg(max(struct(col("cnt"), (-col("nbrLabel")).as("negLabel"))).as("top"))
+        .select(col("vid"), (-col("top.negLabel")).as("newLabel"))
+
+      val newState = state
+        .join(newLabels, Seq("vid"), "left_outer")
+        .select(
+          col("vid"),
+          coalesce(col("newLabel"), col("label")).as("label"),
+          (coalesce(col("newLabel"), col("label")) =!= col("label")).as("changed"))
+        .localCheckpoint(true)
+
+      active = newState.filter(col("changed")).count()
+      state = newState
+      iter += 1
+      metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, adj.numVertices)
+    }
+    RunResult(state, iter, metrics.toSeq)
+  }
+}

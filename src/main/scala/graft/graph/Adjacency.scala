@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** CSR-like grouped adjacency, the Spark-native analog of the
+  * reference's per-tile compressed columns (reference:
+  * src/ds/compressed_column.hpp:63-1120). Instead of a 2D tile grid +
+  * MPI all-to-all (src/mat/matrix.hpp:692-810), edges are grouped by
+  * source vertex into `(src, salt, nbrs: array<struct<dst,w>>)` rows,
+  * hash-co-partitioned by `src` and persisted, so every superstep's
+  * gather join reuses the same layout with zero adjacency movement —
+  * only the (V-sized) message table shuffles, or nothing at all when
+  * the message side is broadcast.
+  *
+  * Skew (power-law out-degree — the moral successor of the reference's
+  * `Matrix::balance` audit, matrix.hpp:562-687) is handled by explicit
+  * SALTING: a vertex whose out-degree exceeds `chunk` is split into
+  * `ceil(outdeg/chunk)` rows keyed by `pmod(xxhash64(dst), nsalts)`.
+  * The superstep join key stays `src` (salt rows duplicate the message,
+  * which is correct for gather), so no hot row ever materializes an
+  * arbitrarily large neighbor array and explode work is balanced.
+  */
+final class Adjacency private (
+    val out: DataFrame,        // (src: long, salt: int, nbrs: array<struct<dst:long, w:double>>)
+    val vertices: DataFrame,   // (vid: long) — distinct vertex universe (nnz rows ∪ cols)
+    val numVertices: Long,
+    val numEdges: Long,
+    val parts: Int) extends Serializable {
+
+  def unpersist(): Unit = { out.unpersist(); vertices.unpersist() }
+}
+
+object Adjacency {
+
+  /** Default neighbor-array chunk size. 2^13 structs ≈ 128 KiB per row
+    * — big enough to amortize per-row overhead, small enough that a
+    * 10^8-degree hub becomes ~12k balanced rows instead of one 1.6 GB
+    * cell at 100 TB scale. */
+  val DefaultChunk = 8192
+
+  /** Build the persisted, co-partitioned adjacency from an edge table
+    * (src, dst[, w]). `parts` should match spark.sql.shuffle.partitions
+    * so downstream groupBy/join stages reuse the partitioning without
+    * an extra exchange.
+    */
+  def build(edges: DataFrame, parts: Int, chunk: Int = DefaultChunk): Adjacency = {
+    val spark = edges.sparkSession
+    val hasW = edges.columns.contains("w")
+    val e = if (hasW)
+      edges.select(col("src"), col("dst"), coalesce(col("w"), lit(1.0)).cast("double").as("w"))
+    else
+      edges.select(col("src"), col("dst"), lit(1.0).as("w"))
+
+    // Out-degree per source — drives the per-vertex salt count. V-sized,
+    // broadcast when small; Spark falls back to shuffle join otherwise.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    val salted = e
+      .join(outdeg, "src")
+      .withColumn("nsalts",
+        greatest(lit(1L), ceil(col("outdeg").cast("double") / chunk)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("dst")), col("nsalts")).cast("int"))
+
+    // repartition by src ONLY, then group by (src, salt): HashPartitioning(src)
+    // satisfies ClusteredDistribution(src, salt), so the aggregation runs
+    // without a second exchange and the result stays partitioned by src —
+    // exactly what the per-superstep gather join needs.
+    val out = salted
+      .repartition(parts, col("src"))
+      .groupBy(col("src"), col("salt"))
+      .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertices = e.select(col("src").as("vid"))
+      .unionAll(e.select(col("dst").as("vid")))
+      .distinct()
+      .repartition(parts, col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nV = vertices.count()
+    val nE = e.count()
+    new Adjacency(out, vertices, nV, nE, parts)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline,
+  * over a documents table (doc_id: long, text: string, ...). All are
+  * built from codegen'd Spark built-ins — no UDFs — so they survive a
+  * 100 TB scale-up: every stage is a projection, an explode, or a
+  * hash aggregation with map-side combine.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on content hash: keep the smallest id per distinct
+    * sha256(text). One shuffle keyed by the hash; hot keys impossible
+    * (hashes are uniform). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Ids of rows to drop under exact dedup (everything but the keeper). */
+  def exactDropIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exact(docs, idCol, textCol).select(col("keep_id"))
+    docs.select(col(idCol), sha2(col(textCol), 256).as("sha"))
+      .join(keep, docs(idCol) === keep("keep_id"), "left_anti")
+      .select(col(idCol))
+  }
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word k-shingles of lowercased text as a distinct array column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tokens = split(lower(text), "\\W+")
+    // sliding windows via transform over an index sequence; join with ' '
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(tokens) - k, lit(0))),
+          i => when(size(tokens) >= k,
+            concat_ws(" ", slice(tokens, i + 1, lit(k)))).otherwise(null)),
+        x => x.isNotNull))
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * xxhash64(seed, shingle) over the shingle set. Computed entirely
+    * with higher-order array functions — one pass, no explode, no
+    * shuffle. */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleArr, x => xxhash64(s, x))))
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows and hash each band → (band_idx, band_hash)
+    * bucket keys. Near-duplicate pairs collide in ≥1 band whp when
+    * Jaccard ≥ ~ (1/bands)^(bands/numHashes). */
+  def lshBands(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("bh")))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH:
+    * shingle → signature → band-bucket join → estimated Jaccard from
+    * signature agreement, filtered at `threshold`.
+    *
+    * Scale shape: the only wide operations are (a) the explode of
+    * `bands` rows per doc (constant fan-out) and (b) a self-join keyed
+    * by (band, band_hash) whose per-bucket size is bounded by actual
+    * near-duplicate cluster size — uniform hashing means no skew from
+    * popular vocabulary, unlike content-keyed joins.
+    */
+  def minhashCandidates(docs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        numHashes: Int = 64,
+                        bands: Int = 16,
+                        threshold: Double = 0.7): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+    val buckets = withSig
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------- ngram jaccard
+
+  /** Exact n-gram Jaccard similarity for a (small) candidate pair set:
+    * join text back in and compute |A∩B|/|A∪B| with array functions.
+    * Used to verify LSH candidates exactly. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))))
+      .drop("sh_a", "sh_b")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash from word tokens: per-bit majority vote of token
+    * hashes, packed into a long. Expressed as 64 conditional sums over
+    * the exploded token set — one hash aggregation, map-side combined.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\W+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
+    * banded on 4×16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
+    * equal). */
+  def simhashCandidates(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)
+    val chunked = sim.select(
+      col("id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk"), col("c.ck"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

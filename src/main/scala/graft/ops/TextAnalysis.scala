@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over the
+  * documents table. Pure column expressions (whole-stage codegen);
+  * every operator is a narrow projection — zero shuffles — so
+  * throughput is scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap deterministic proxy for tokenizer
+    * load (regexp_count is a Spark 3.5+/4.x built-in). */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  // ---------------------------------------------------------- quality score
+
+  /** Quality heuasures: length, punctuation ratio, stopword ratio,
+    * mean word length, and a composite [0,1] score — the standard
+    * C4/Gopher-style cheap filters. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    val nWords = size(words)
+    val punct = regexp_count(text, lit("[\\p{Punct}]"))
+    val stop = size(array_intersect(array_distinct(words), Stopwords.en))
+    val meanWordLen = when(nWords > 0,
+      aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(1.0)
+    val stopRatio = when(size(array_distinct(words)) > 0,
+      stop.cast("double") / size(array_distinct(words))).otherwise(0.0)
+    val lengthOk = (nWords >= 5 && nChars >= 20).cast("double")
+    val score = lengthOk * (lit(1.0) - least(punctRatio * 4, lit(1.0))) *
+      least(stopRatio * 5 + 0.2, lit(1.0)) *
+      when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.3)
+    Seq(
+      "n_chars_calc" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "mean_word_len" -> meanWordLen,
+      "quality_score" -> score)
+  }
+
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+
+  // ------------------------------------------------------------ language id
+
+  /** Stopword-hit language id: score each candidate language by the
+    * fraction of its stopword list present in the document's token
+    * set; argmax with deterministic tie-break (lexicographic lang). A
+    * cheap n-gram-free heuristic good enough for corpus bucketing. */
+  def langIdColumns(text: Column): Column = {
+    val words = array_distinct(filter(split(lower(text), "\\W+"), t => length(t) > 0))
+    val scored = Stopwords.lists.map { case (lang, ws) =>
+      val sw = array(ws.map(lit): _*)
+      struct(
+        (size(array_intersect(words, sw)).cast("double") / ws.size).as("score"),
+        lit(lang).as("lang"))
+    }
+    // max by (score, reversed-lang) then unwrap; ties → smallest lang code
+    val best = scored.reduce((a, b) =>
+      when(a.getField("score") > b.getField("score"), a)
+        .when(a.getField("score") < b.getField("score"), b)
+        .when(a.getField("lang") <= b.getField("lang"), a).otherwise(b))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("lang_id", langIdColumns(col(textCol)))
+
+  // ---------------------------------------------------------- fingerprinting
+
+  /** Winnowing-style document fingerprint: hash every word 5-gram,
+    * keep the minimum hash per document window band — here reduced to
+    * the classic "min of k-gram hashes per band" sketch of `bands`
+    * longs. Deterministic, locality-sensitive to contiguous content. */
+  def fingerprint(text: Column, k: Int = 5, bands: Int = 8): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => array_min(filter(grams, g => pmod(g, lit(bands)) === b)))
+  }
+
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(col(textCol)))
+}
+
+/** Tiny embedded stopword lists (public common-word lists). */
+object Stopwords {
+  import org.apache.spark.sql.functions.{array, lit}
+
+  private def arr(ws: String*): Column = array(ws.map(lit): _*)
+  private type Column = org.apache.spark.sql.Column
+
+  val enWords = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it",
+    "was", "for", "on", "are", "with", "as", "be", "at", "by", "this", "have")
+  val deWords = Seq("der", "die", "und", "das", "ist", "von", "mit", "den",
+    "nicht", "ein", "eine", "auf", "für", "im", "sich", "des", "auch", "es", "an", "werden")
+  val frWords = Seq("le", "la", "de", "et", "les", "des", "est", "un", "une",
+    "du", "dans", "que", "qui", "pour", "sur", "pas", "au", "avec", "ce", "il")
+  val esWords = Seq("el", "la", "de", "que", "y", "los", "en", "un", "una",
+    "del", "las", "por", "con", "no", "se", "es", "para", "su", "al", "lo")
+
+  val en: Column = arr(enWords: _*)
+  val lists: Seq[(String, Seq[String])] = Seq(
+    "de" -> deWords, "en" -> enWords, "es" -> esWords, "fr" -> frWords)
+}

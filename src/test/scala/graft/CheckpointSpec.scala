@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import graft.graph._
+import graft.algos._
+import graft.ckpt.CheckpointManager
+
+class CheckpointSpec extends SparkTestBase {
+
+  private def ranks(r: RunResult): Map[Long, Double] =
+    r.state.select("vid", "rank").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+
+  test("resume from mid-run checkpoint reproduces the uninterrupted run") {
+    val es = randomEdges(120, 700, seed = 51)
+    val adj = Adjacency.build(edgesDF(es), parts)
+
+    // uninterrupted: 14 supersteps
+    val straight = ranks(PageRank.run(adj, maxIters = 14))
+
+    // interrupted: run 7, then a NEW engine run resumes from the
+    // snapshot and finishes the remaining budget
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val mgr = new CheckpointManager(dir, every = 7)
+    PageRank.run(adj, maxIters = 7, ckpt = Some(mgr))
+    val resumed = ranks(PageRank.run(adj, maxIters = 14, ckpt = Some(mgr)))
+
+    assert(straight.keySet == resumed.keySet)
+    straight.foreach { case (v, x) =>
+      assert(math.abs(x - resumed(v)) <= 1e-9, s"vid=$v straight=$x resumed=${resumed(v)}")
+    }
+    adj.unpersist()
+  }
+
+  test("manifest carries iteration, per-partition lineage and metrics") {
+    val es = randomEdges(50, 200, seed = 53)
+    val adj = Adjacency.build(edgesDF(es), parts)
+    val dir = Files.createTempDirectory("graft-ckpt2").toString
+    val mgr = new CheckpointManager(dir, every = 2)
+    PageRank.run(adj, maxIters = 4, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(4))
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(dir, "iter=00004", "manifest.json"))
+    assert(manifest.contains("\"iteration\":4"))
+    assert(manifest.contains("\"partitions\":[{"))
+    assert(manifest.contains("\"metrics\":[{"))
+    assert(manifest.contains("\"snapshotId\""))
+    // intermediate snapshot exists too
+    assert(Files.exists(java.nio.file.Paths.get(dir, "iter=00002", "manifest.json")))
+    adj.unpersist()
+  }
+
+  test("exact-state algorithms resume bit-identically (CC)") {
+    val es = randomEdges(200, 400, seed = 57)
+    val straight = ConnectedComponents.run(edgesDF(es), parts)
+      .state.select("vid", "label").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    val mgr = new CheckpointManager(dir, every = 1)
+    // first run to fixpoint with snapshots, then "resume" — must be a no-op
+    val und = GraphShaping.shape(edgesDF(es), EdgeShaping(directed = false, parallelEdges = false))
+    val adj = Adjacency.build(und, parts)
+    Engine.run(adj, new MinLabelProgram("cc"), RunConfig(maxIters = 0, ckpt = Some(mgr)))
+    val resumed = Engine.run(adj, new MinLabelProgram("cc"), RunConfig(maxIters = 0, ckpt = Some(mgr)))
+      .state.select("vid", "label").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(resumed == straight)
+    adj.unpersist()
+  }
+}

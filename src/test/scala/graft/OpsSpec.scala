@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class DedupSpec extends SparkTestBase {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 1
+    3L -> "the quick brown fox jumps over the lazy dog near the river shore", // near dup of 1
+    4L -> "completely different content about spark catalyst optimizer internals",
+    5L -> "another unrelated text mentioning distributed graph analytics engines")
+
+  test("exact dedup keeps min id per hash group") {
+    val d = Dedup.exact(docsDF(base))
+    assert(d.count() == 4) // 1&2 collapse
+    val dupRow = d.filter(col("dup_count") === 2).collect()
+    assert(dupRow.length == 1 && dupRow(0).getAs[Long]("keep_id") == 1L)
+    val drops = Dedup.exactDropIds(docsDF(base)).collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L))
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val cands = Dedup.minhashCandidates(docsDF(base), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // identical → jaccard 1
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L))) // near dup
+    assert(!cands.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("exact ngram jaccard verifies candidates (identical pair = 1.0)") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docsDF(base)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(math.abs(j((1L, 2L)) - 1.0) < 1e-12)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("simhash: identical docs share hash; hamming bands catch near dups") {
+    val sim = Dedup.simhash(docsDF(base)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(1L) == sim(2L))
+    val cands = Dedup.simhashCandidates(Dedup.simhash(docsDF(base)), maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def vecsDF(rows: Seq[(Long, Array[Float])]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def randVecs(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(i => i.toLong -> Array.fill(dim)(r.nextGaussian().toFloat))
+  }
+
+  private def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na / 1.0 * nb)
+  }
+
+  test("brute-force top-k matches an in-memory ranking") {
+    val vs = randVecs(40, 16, seed = 61)
+    val df = vecsDF(vs)
+    val q = vecsDF(vs.take(3))
+    val got = Similarity.bruteForceTopK(df, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("nbr_id")).toMap
+    val lookup = vs.toMap
+    vs.take(3).foreach { case (qid, qv) =>
+      val want = vs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosineScala(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotIds = (1 to 5).map(rk => got((qid, rk)))
+      assert(gotIds == want, s"query $qid")
+    }
+  }
+
+  test("LSH top-k achieves decent recall vs brute force") {
+    val vs = randVecs(120, 16, seed = 67)
+    val df = vecsDF(vs)
+    val q = vecsDF(vs.take(5))
+    val exact = Similarity.bruteForceTopK(df, q, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = Similarity.lshTopK(df, q, k = 3, nPlanes = 4, tables = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall") // loose: tiny dims, hash planes
+  }
+
+  test("cosine near-dup finds planted duplicates") {
+    val vs = randVecs(50, 16, seed = 71)
+    // plant: 100 is a tiny perturbation of 0
+    val planted = vs :+ (100L -> vs.head._2.map(x => x + 0.001f))
+    val dups = Similarity.cosineNearDup(vecsDF(planted), threshold = 0.99,
+      nPlanes = 4, tables = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((0L, 100L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = docsDF(Seq(1L -> "hello world, it's 2026!", 2L -> ""))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L)._1 == 4) // hello / world, / it's / 2026!
+    // hello|world|,|it|'|s|2026|! = 8
+    assert(m(1L)._2 == 8)
+    assert(m(2L) == ((0, 0)))
+  }
+
+  test("quality score separates prose from junk") {
+    val df = TextAnalysis.withQuality(docsDF(Seq(
+      1L -> "The quick brown fox jumps over the lazy dog and runs to the forest with a happy smile on its face.",
+      2L -> "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((()))",
+      3L -> "x")))
+    val scores = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(scores(1L) > 0.5)
+    assert(scores(2L) < 0.1)
+    assert(scores(3L) == 0.0)
+  }
+
+  test("language id picks the right stopword family") {
+    val df = TextAnalysis.withLangId(docsDF(Seq(
+      1L -> "the cat is on the mat and it is happy with this",
+      2L -> "der hund ist nicht auf der matte und das ist auch gut",
+      3L -> "le chat est dans la maison avec les enfants et il est content",
+      4L -> "el perro es grande y la casa es blanca para su familia",
+      5L -> "zzz qqq xxx")))
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_id")).toMap
+    assert(m == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("fingerprint is deterministic and locality-sensitive") {
+    val a = "the quick brown fox jumps over the lazy dog and then some more words here"
+    val b = a + " with a tiny suffix appended"
+    val c = "completely different material on an unrelated topic entirely for contrast purposes okay"
+    val df = docsDF(Seq(1L -> a, 2L -> a, 3L -> b, 4L -> c))
+    val fps = TextAnalysis.withFingerprint(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[java.lang.Long](2).toVector).toMap
+    assert(fps(1L) == fps(2L)) // deterministic
+    val sharedAB = fps(1L).zip(fps(3L)).count { case (x, y) => x == y }
+    val sharedAC = fps(1L).zip(fps(4L)).count { case (x, y) => x == y }
+    assert(sharedAB > sharedAC) // locality
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("media plumbing: schema, batched feature extraction, determinism") {
+    val media = Multimodal.syntheticMedia(spark, 30, payloadBytes = 512)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.forall(_.n_bytes == 512))
+    // deterministic: same id → same features across runs
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30, 512))
+      .collect().map(f => f.media_id -> f.features.toVector).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.features.toVector))
+  }
+
+  test("frame sampling strides video payloads only") {
+    val media = Multimodal.syntheticMedia(spark, 9, payloadBytes = 1024)
+    val frames = Multimodal.sampleFrames(media, stride = 256)
+    val byMedia = frames.collect().groupBy(_.getLong(0))
+    assert(byMedia.keySet == Set(2L, 5L, 8L)) // ids ≡ 2 mod 3 are video
+    byMedia.values.foreach(f => assert(f.length == 4)) // 1024/256
+  }
+
+  test("audit is pure column ops over binary payloads") {
+    val media = Multimodal.syntheticMedia(spark, 12, payloadBytes = 64).toDF()
+    val a = Multimodal.audit(media).collect()
+    assert(a.length == 12 && a.forall(_.getAs[Boolean]("non_empty")))
+  }
+}
