@@ -59,7 +59,8 @@ object LabelPropagation {
           col("vid"),
           coalesce(col("newLabel"), col("label")).as("label"),
           (coalesce(col("newLabel"), col("label")) =!= col("label")).as("changed"))
-        .localCheckpoint(true)
+        // lazy: plan truncated now, RDD materialized by the count below
+        .localCheckpoint(false)
 
       active = newState.filter(col("changed")).count()
       state = newState

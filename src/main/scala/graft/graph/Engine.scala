@@ -15,11 +15,14 @@ final case class RunConfig(
     /** Broadcast the message table instead of shuffling it when the
       * messaging side has at most this many vertices — the Spark-native
       * form of the reference's dense-bcast vs sparse-p2p switch
-      * (vp:194, 754-784). At 10^9-vertex scale this stays false and the
-      * co-partitioned shuffle path is used; on a frontier algorithm the
-      * shrinking frontier flips it true mid-run, exactly like the
-      * reference's 0.6-density activity filtering. */
-    broadcastMaxVertices: Long = 1L << 21,
+      * (vp:194, 754-784). Broadcast is a SERIAL driver-side collect +
+      * hash-relation build per superstep, so the threshold must stay
+      * small (measured: broadcasting 10^6-row messages made supersteps
+      * 5× slower than the parallel co-partitioned shuffle). On a
+      * frontier algorithm the shrinking frontier flips this true
+      * mid-run, exactly like the reference's 0.6-density activity
+      * filtering. */
+    broadcastMaxVertices: Long = 100000,
     ckpt: Option[CheckpointManager] = None)
 
 final case class RunResult(state: DataFrame, iterations: Int, metrics: Seq[IterMetrics]) {
@@ -51,6 +54,9 @@ object Engine {
 
   def run(adj: Adjacency, program: VertexProgram, cfg: RunConfig = RunConfig()): RunResult = {
     val spark = adj.out.sparkSession
+    // Hash joins beat sort-merge for the per-superstep equi joins (the
+    // adjacency side would otherwise be re-sorted every iteration).
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val metrics = ArrayBuffer.empty[IterMetrics]
 
     val resumed = cfg.ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
@@ -95,8 +101,16 @@ object Engine {
 
       // --- apply: state ⟗ y, applicator expression, changed flag
       val joined = state.join(gathered, Seq("vid"), "left_outer")
-      val newState = program.apply(joined, iter).localCheckpoint(true)
+      val applied = program.apply(joined, iter)
 
+      // LAZY localCheckpoint: truncates the logical plan to a
+      // LogicalRDD immediately (the state feeds both the message side
+      // and the apply join, so an untruncated plan DOUBLES each
+      // superstep — measured exponential per-iteration slowdown), while
+      // the RDD itself materializes inside the convergence count below.
+      // Net: one action per superstep, like the reference's single
+      // allreduce (vp:1918).
+      val newState = applied.localCheckpoint(false)
       active = newState.filter(col("changed")).count()
       state = newState
       iter += 1

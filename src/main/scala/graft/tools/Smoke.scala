@@ -60,6 +60,19 @@ object Smoke {
       .agg(coalesce(max(abs(col("r1") - col("r2"))), lit(0.0))).head.getDouble(0)
     println(s"[smoke] resume-vs-straight maxDelta=$maxDelta (snapshot at iter 5, dir=$dir)")
 
+    // sources + stats + balance: binary round-trip through the
+    // reference's record format, checksum/summary sinks, skew audit
+    val binPath = java.nio.file.Files.createTempFile("graft-smoke", ".bin").toString
+    graft.sources.EdgeListSource.writeBinary(edges.limit(1000), binPath)
+    val back = graft.sources.EdgeListSource.readBinary(spark, binPath).count()
+    val rep = graft.graph.BalanceAudit.audit(adj)
+    val summ = graft.graph.Stats.summary(pr.state, "rank").head()
+    println(s"[smoke] binary round-trip rows=$back; balance imbalance=${"%.3f".format(rep.imbalance)} " +
+      s"breached=${rep.breached}; rank mean=${"%.4f".format(summ.getAs[Double]("mean"))} " +
+      s"argmax=${summ.getAs[Long]("argmax_vid")}")
+    val rmatE = graft.ingest.Rmat.edges(spark, scale = 10)
+    println(s"[smoke] rmat10: edges=${rmatE.count()} triangles=${graft.algos.TriangleCount.count(rmatE, 8)}")
+
     println("[smoke] OK")
     spark.stop()
   }

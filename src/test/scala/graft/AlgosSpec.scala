@@ -69,6 +69,18 @@ class PageRankSpec extends SparkTestBase {
     assertClose(got, want, tol = 1e-4) // both stop at |Δ|≤1e-5; same loop
   }
 
+  test("shuffle gather path (no broadcast) matches oracle") {
+    val es = randomEdges(150, 900, seed = 17)
+    val adj = Adjacency.build(edgesDF(es), parts)
+    val degrees = Degree.outFromAdjacency(adj)
+    val r = Engine.run(adj, new PageRankProgram(degrees, 0.15, 1e-5),
+      RunConfig(maxIters = 15, broadcastMaxVertices = 0)) // force co-partitioned shuffle join
+    val got = r.state.select("vid", "rank").collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    adj.unpersist()
+    assertClose(got, ReferenceOracle.pagerank(es, 15))
+  }
+
   test("salting (tiny chunk) does not change results") {
     val es = randomEdges(60, 600, seed = 13)
     val adj = Adjacency.build(edgesDF(es), parts, chunk = 4)
