@@ -34,6 +34,10 @@ final class Adjacency private (
 
 object Adjacency {
 
+  /** Same adjacency with a substituted (e.g. annotated) vertex table. */
+  def withVertices(a: Adjacency, vertices: DataFrame): Adjacency =
+    new Adjacency(a.out, vertices, a.numVertices, a.numEdges, a.parts)
+
   /** Default neighbor-array chunk size. 2^13 structs ≈ 128 KiB per row
     * — big enough to amortize per-row overhead, small enough that a
     * 10^8-degree hub becomes ~12k balanced rows instead of one 1.6 GB

@@ -36,8 +36,8 @@ object Smoke {
 
     val pr = PageRank.run(adj, maxIters = 20)
     val checksum = pr.checksum("rank")
-    val top = pr.state.orderBy(desc("rank")).limit(3)
-      .collect().map(r => s"${r.getLong(0)}:${"%.4f".format(r.getDouble(2))}").mkString(", ")
+    val top = pr.state.select("vid", "rank").orderBy(desc("rank")).limit(3)
+      .collect().map(r => s"${r.getLong(0)}:${"%.4f".format(r.getDouble(1))}").mkString(", ")
     println(s"[smoke] pagerank: iters=${pr.iterations} checksum=$checksum top3=[$top]")
     println(s"[smoke] pagerank metrics: " + pr.metrics.takeRight(3)
       .map(m => s"iter=${m.iter} active=${m.activeVertices} wallMs=${m.wallMs}").mkString(" | "))
@@ -72,6 +72,10 @@ object Smoke {
       s"argmax=${summ.getAs[Long]("argmax_vid")}")
     val rmatE = graft.ingest.Rmat.edges(spark, scale = 10)
     println(s"[smoke] rmat10: edges=${rmatE.count()} triangles=${graft.algos.TriangleCount.count(rmatE, 8)}")
+    val rmatAdj = Adjacency.build(rmatE, 8)
+    val cks = Seq(SourceSemantics.Always, SourceSemantics.Never, SourceSemantics.FinalFlush)
+      .map(m => s"$m=${"%.4f".format(PageRank.run(rmatAdj, maxIters = 30, sources = m).checksum("rank"))}")
+    println(s"[smoke] rmat10 pagerank source-semantics checksums: ${cks.mkString(" ")}")
 
     println("[smoke] OK")
     spark.stop()

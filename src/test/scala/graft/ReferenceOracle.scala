@@ -16,27 +16,32 @@ object ReferenceOracle {
     * rank(v) = alpha + (1-alpha)·y(v). Runs exactly `iters` rounds
     * when iters>0, else to |Δ|≤tol fixpoint. */
   def pagerank(edges: Seq[(Long, Long)], iters: Int,
-               alpha: Double = 0.15, tol: Double = 1e-5): Map[Long, Double] = {
+               alpha: Double = 0.15, tol: Double = 1e-5,
+               mode: String = "always"): Map[Long, Double] = {
     val vs = vertices(edges)
     val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val hasIn = edges.map(_._2).toSet
+    def sweep(rank: Map[Long, Double], withSources: Boolean): Map[Long, Double] = {
+      val y = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      edges.foreach { case (u, v) =>
+        val d = outdeg.getOrElse(u, 0L)
+        val gated = withSources || hasIn.contains(u)
+        if (d > 0 && gated) y(v) += rank(u) / d
+      }
+      vs.map(v => v -> (alpha + (1.0 - alpha) * y(v))).toMap
+    }
     var rank = vs.map(_ -> alpha).toMap
     var it = 0
     var anyChanged = true
     while ((iters > 0 && it < iters) || (iters == 0 && anyChanged)) {
-      val y = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
-      edges.foreach { case (u, v) =>
-        val d = outdeg.getOrElse(u, 0L)
-        if (d > 0) y(v) += rank(u) / d
-      }
-      anyChanged = false
-      rank = vs.map { v =>
-        val nr = alpha + (1.0 - alpha) * y(v)
-        if (math.abs(nr - rank(v)) > tol) anyChanged = true
-        v -> nr
-      }.toMap
+      val next = sweep(rank, withSources = mode == "always")
+      anyChanged = vs.exists(v => math.abs(next(v) - rank(v)) > tol)
+      rank = next
       it += 1
     }
-    rank
+    // distributed GraphTap: one extra combine+apply with source-row
+    // edges included (vp:423-429, 1282-1317)
+    if (mode == "flush") sweep(rank, withSources = true) else rank
   }
 
   /** Undirected connected components, label = min vid (union-find). */
