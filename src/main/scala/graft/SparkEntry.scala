@@ -124,6 +124,15 @@ object SparkEntry {
       .groupBy(col("lang_id")).agg(count(lit(1)).as("n"))),
     "q_minhash_dups" -> ((s, d) =>
       Dedup.minhashCandidates(read(s, d, "documents"), threshold = 0.5)),
+    "q_dedup_clusters" -> ((s, d) => {
+      // full near-dup pipeline: minhash LSH candidates → CC clusters →
+      // canonical representative per document
+      val docs = read(s, d, "documents")
+      val cands = Dedup.minhashCandidates(docs, threshold = 0.5)
+      docs.select(col("doc_id"))
+        .join(Dedup.duplicateClusters(cands, parts(s)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    }),
     "q_simhash" -> ((s, d) => Dedup.simhash(read(s, d, "documents"))),
     "q_fingerprints" -> ((s, d) =>
       TextAnalysis.withFingerprint(read(s, d, "documents")).select("doc_id", "fingerprint")),

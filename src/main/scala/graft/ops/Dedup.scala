@@ -129,6 +129,21 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Near-duplicate CLUSTERS from a candidate-pair table (id_a, id_b):
+    * connected components over the pair graph, canonical id = min doc
+    * id per cluster — the standard "keep one representative per
+    * duplicate cluster" step, computed with the graph engine itself
+    * (graft.algos.ConnectedComponents, exact min-label semantics).
+    * Returns (doc_id, canonical_id); docs absent from any pair are
+    * their own canonical. */
+  def duplicateClusters(pairs: DataFrame, parts: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.algos.ConnectedComponents.run(edges, parts).state
+      .select(col("vid").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from word tokens: per-bit majority vote of token

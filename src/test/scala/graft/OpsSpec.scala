@@ -43,6 +43,14 @@ class DedupSpec extends SparkTestBase {
     assert(j((1L, 4L)) < 0.1)
   }
 
+  test("duplicate clusters: CC over candidate pairs, canonical = min id") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 7L), (5L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, parts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L))
+  }
+
   test("simhash: identical docs share hash; hamming bands catch near dups") {
     val sim = Dedup.simhash(docsDF(base)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
