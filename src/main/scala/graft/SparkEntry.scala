@@ -153,7 +153,89 @@ object SparkEntry {
         threshold = 0.99)
     }))
 
+  /** Undirected closure of the derived edge table as a DuckDB CTE
+    * body; `selfLoops=false` drops src==dst first when asked. */
+  private def undirectedSql(dropSelfLoops: Boolean): String = {
+    val w = if (dropSelfLoops) " WHERE src<>dst" else ""
+    s"ue AS (SELECT DISTINCT a,b FROM (SELECT src AS a,dst AS b FROM raw$w " +
+      s"UNION ALL SELECT dst,src FROM raw$w))"
+  }
+
+  /** CC oracle: min-label over the undirected closure via recursive
+    * reachability pairs (terminates — UNION dedups (v,m) pairs, both
+    * drawn from the finite vertex set). */
+  private def ccSizesSql: String =
+    s"WITH RECURSIVE raw AS ($edgesSql), ${undirectedSql(dropSelfLoops = false)}, " +
+      "v AS (SELECT DISTINCT a AS vid FROM ue), " +
+      "r AS (SELECT vid AS v, vid AS m FROM v " +
+      "UNION SELECT ue.b, r.m FROM r JOIN ue ON ue.a=r.v) " +
+      "SELECT label, COUNT(*) AS size FROM " +
+      "(SELECT v, MIN(m) AS label FROM r GROUP BY v) GROUP BY label"
+
+  /** Shortest-hop recursion bounded at 100 — these mod-1000 graphs are
+    * dense (≥6 edges/vertex at the smallest sf) so the true diameter
+    * is single-digit; 100 only caps the cycle-walk frontier. */
+  private val HopBound = 100
+
+  private def bfsDepthsSql: String =
+    s"WITH RECURSIVE raw AS ($edgesSql), ${undirectedSql(dropSelfLoops = true)}, " +
+      "v AS (SELECT DISTINCT a AS vid FROM ue), " +
+      s"r AS (SELECT vid AS v, 0 AS d FROM v WHERE vid=0 " +
+      s"UNION SELECT ue.b, r.d+1 FROM r JOIN ue ON ue.a=r.v WHERE r.d < $HopBound), " +
+      "h AS (SELECT v, MIN(d) AS hops FROM r GROUP BY v) " +
+      "SELECT h.hops AS hops, COUNT(*) AS n FROM v LEFT JOIN h ON v.vid=h.v GROUP BY h.hops"
+
+  private def ssspSql: String =
+    s"WITH RECURSIVE raw AS ($edgesSql), " +
+      "e AS (SELECT DISTINCT src,dst FROM raw), " +
+      "v AS (SELECT DISTINCT src AS vid FROM raw UNION SELECT DISTINCT dst FROM raw), " +
+      s"r AS (SELECT vid AS v, 0 AS d FROM v WHERE vid=0 " +
+      s"UNION SELECT e.dst, r.d+1 FROM r JOIN e ON e.src=r.v WHERE r.d < $HopBound) " +
+      "SELECT CAST(dist AS DOUBLE) AS dist, COUNT(*) AS n FROM " +
+      "(SELECT v, MIN(d) AS dist FROM r GROUP BY v) GROUP BY 1"
+
+  /** Frequency-LPA unrolled to exactly `iters` synchronous steps —
+    * identical tie-break to LabelPropagation (max count, then min
+    * label). A converged run is a fixpoint, so running the full
+    * unrolled budget matches Spark's early-stop. */
+  private def lpaSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"w$i AS (SELECT ue.b AS vid, p.label AS lab, COUNT(*) AS c " +
+        s"FROM ue JOIN l${i - 1} p ON p.vid=ue.a GROUP BY 1,2 " +
+        s"QUALIFY ROW_NUMBER() OVER (PARTITION BY ue.b ORDER BY COUNT(*) DESC, p.label ASC) = 1), " +
+        s"l$i AS (SELECT v.vid, COALESCE(w$i.lab, p.label) AS label FROM v " +
+        s"JOIN l${i - 1} p ON p.vid=v.vid LEFT JOIN w$i ON w$i.vid=v.vid)"
+    }.mkString(", ")
+    s"WITH raw AS ($edgesSql), ${undirectedSql(dropSelfLoops = true)}, " +
+      "v AS (SELECT DISTINCT a AS vid FROM ue), " +
+      s"l0 AS (SELECT vid, vid AS label FROM v), $steps " +
+      s"SELECT label, COUNT(*) AS n FROM l$iters GROUP BY label ORDER BY n DESC, label LIMIT 20"
+  }
+
+  /** Reference-semantics PageRank (rank₀=α; rank←α+(1−α)·Σ rank/deg;
+    * no dangling redistribution; parallel edges each contribute)
+    * unrolled to exactly `iters` steps — the fixed-budget mode never
+    * stops early, so the unrolled SQL is step-for-step identical. */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"r$i AS (SELECT v.vid, 0.15 + 0.85*COALESCE(s.y, 0) AS rank FROM v LEFT JOIN " +
+        s"(SELECT e.dst AS vid, SUM(p.rank/deg.d) AS y FROM e JOIN r${i - 1} p ON p.vid=e.src " +
+        s"JOIN deg ON deg.vid=e.src GROUP BY e.dst) s ON s.vid=v.vid)"
+    }.mkString(", ")
+    s"WITH e AS ($edgesSql), " +
+      "v AS (SELECT DISTINCT src AS vid FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "deg AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src), " +
+      s"r0 AS (SELECT vid, CAST(0.15 AS DOUBLE) AS rank FROM v), $steps " +
+      s"SELECT vid, ROUND(rank, 6) AS rank FROM r$iters " +
+      "ORDER BY ROUND(rank,6) DESC, vid LIMIT 25"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_cc_sizes" -> ccSizesSql,
+    "q_bfs_depths" -> bfsDepthsSql,
+    "q_sssp" -> ssspSql,
+    "q_lpa" -> lpaSql(5),
+    "q_pagerank_top" -> pagerankSql(20),
     "q_checksum" ->
       "SELECT ROUND(SUM(l_quantity), 2) AS checksum, COUNT(*) AS n_rows FROM lineitem",
     "q_stats" ->
