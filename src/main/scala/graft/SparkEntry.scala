@@ -230,7 +230,50 @@ object SparkEntry {
       "ORDER BY ROUND(rank,6) DESC, vid LIMIT 25"
   }
 
+  /** DuckDB array literals of the embedded stopword lists (kept in
+    * lockstep with graft.ops.Stopwords). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** q_quality oracle: replicates TextAnalysis.qualityColumns
+    * term-for-term. `[!-/:-@\[-`{-~]` is ASCII \p{Punct} spelled as
+    * RE2 ranges (the documents are pure ASCII). */
+  private def qualitySql: String = {
+    val en = sqlList(graft.ops.Stopwords.enWords)
+    "WITH base AS (SELECT doc_id, text, LENGTH(text) AS n_chars, " +
+      "list_filter(regexp_split_to_array(LOWER(text), '\\W+'), w -> LENGTH(w)>0) AS words, " +
+      "LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct FROM documents), " +
+      "b2 AS (SELECT doc_id, n_chars, words, punct, LENGTH(words) AS n_words, " +
+      "list_distinct(words) AS dwords, " +
+      "CASE WHEN LENGTH(words)>0 THEN CAST(list_sum(list_transform(words, w -> LENGTH(w))) AS DOUBLE)/LENGTH(words) ELSE 0.0 END AS mean_word_len FROM base), " +
+      "b3 AS (SELECT doc_id, n_words, " +
+      "CASE WHEN n_chars>0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 1.0 END AS punct_ratio, " +
+      s"CASE WHEN LENGTH(dwords)>0 THEN CAST(LENGTH(list_intersect(dwords, $en)) AS DOUBLE)/LENGTH(dwords) ELSE 0.0 END AS stop_ratio, " +
+      "CASE WHEN n_words>=5 AND n_chars>=20 THEN 1.0 ELSE 0.0 END AS length_ok, mean_word_len FROM b2) " +
+      "SELECT doc_id, n_words, ROUND(punct_ratio,4) AS punct_ratio, " +
+      "ROUND(length_ok * (1.0 - LEAST(punct_ratio*4, 1.0)) * LEAST(stop_ratio*5 + 0.2, 1.0) * " +
+      "(CASE WHEN mean_word_len BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.3 END), 4) AS quality_score FROM b3"
+  }
+
+  /** q_lang_id oracle: same stopword-hit argmax; the CASE order
+    * (de, en, es, fr) reproduces the lexicographic tie-break. */
+  private def langIdSql: String = {
+    val ls = graft.ops.Stopwords.lists
+    val scoreCols = ls.map { case (k, ws) =>
+      s"CAST(LENGTH(list_intersect(dwords, ${sqlList(ws)})) AS DOUBLE)/${ws.size} AS s_$k"
+    }.mkString(", ")
+    val g = ls.map(l => s"s_${l._1}").mkString("GREATEST(", ",", ")")
+    val cases = ls.init.map { case (k, _) => s"WHEN s_$k = $g THEN '$k'" }.mkString(" ")
+    "WITH base AS (SELECT doc_id, " +
+      "list_distinct(list_filter(regexp_split_to_array(LOWER(text), '\\W+'), w -> LENGTH(w)>0)) AS dwords FROM documents), " +
+      s"sc AS (SELECT doc_id, $scoreCols FROM base), " +
+      s"best AS (SELECT doc_id, CASE WHEN $g <= 0 THEN 'und' $cases ELSE '${ls.last._1}' END AS lang_id FROM sc) " +
+      "SELECT lang_id, COUNT(*) AS n FROM best GROUP BY lang_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_quality" -> qualitySql,
+    "q_lang_id" -> langIdSql,
     "q_cc_sizes" -> ccSizesSql,
     "q_bfs_depths" -> bfsDepthsSql,
     "q_sssp" -> ssspSql,

@@ -48,7 +48,8 @@ object ConnectedComponents {
           ckpt: Option[graft.ckpt.CheckpointManager] = None): RunResult = {
     val und = GraphShaping.shape(edges,
       EdgeShaping(directed = false, parallelEdges = false))
-    val adj = Adjacency.build(und, parts)
+    // min-label combine ignores weights → compact dst-only adjacency
+    val adj = Adjacency.build(und, parts, weighted = false)
     Engine.run(adj, new MinLabelProgram("cc"), RunConfig(maxIters = 0, ckpt = ckpt))
   }
 

@@ -24,7 +24,7 @@ object LabelPropagation {
   def run(edges: DataFrame, parts: Int, maxIters: Int = 10): RunResult = {
     val und = GraphShaping.shape(edges,
       EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
-    val adj = Adjacency.build(und, parts)
+    val adj = Adjacency.build(und, parts, weighted = false)
     runOnAdjacency(adj, maxIters)
   }
 
@@ -44,7 +44,7 @@ object LabelPropagation {
       val newLabels = adj.out
         .join(msgs, adj.out("src") === msgs("vid"), "inner")
         .select(col("msg"), explode(col("nbrs")).as("e"))
-        .groupBy(col("e.dst").as("vid"), col("msg").as("nbrLabel"))
+        .groupBy(adj.dstOf(col("e")).as("vid"), col("msg").as("nbrLabel"))
         .agg(count(lit(1)).as("cnt"))
         // arg-max with deterministic tie-break: highest count wins,
         // ties resolved toward the SMALLEST label (hence -nbrLabel in

@@ -95,7 +95,7 @@ object PageRank {
   /** Vertices annotated with an in-edge flag, derived from the CSR
     * adjacency (one-time explode; no raw-edge pass needed). */
   private def verticesWithInFlag(adj: Adjacency): DataFrame = {
-    val inSet = adj.out.select(explode(col("nbrs.dst")).as("vid")).distinct()
+    val inSet = adj.out.select(explode(adj.nbrDsts).as("vid")).distinct()
       .withColumn("hasIn", lit(true))
     adj.vertices.join(inSet, Seq("vid"), "left_outer")
       .select(col("vid"), coalesce(col("hasIn"), lit(false)).as("hasIn"))
@@ -134,7 +134,7 @@ object PageRank {
         val gathered = adj.out
           .join(msgs, adj.out("src") === msgs("vid"), "inner")
           .select(col("msg"), explode(col("nbrs")).as("e"))
-          .select(col("e.dst").as("vid"), (col("msg") * col("e.w")).as("mv"))
+          .select(adj.dstOf(col("e")).as("vid"), (col("msg") * adj.wOf(col("e"))).as("mv"))
           .groupBy(col("vid")).agg(sum(col("mv")).as("y"))
         val flushed = full.apply(base.state.join(gathered, Seq("vid"), "left_outer"), base.iterations)
           .localCheckpoint(true)

@@ -80,7 +80,8 @@ object Traversal {
           ckpt: Option[graft.ckpt.CheckpointManager] = None): RunResult = {
     val und = GraphShaping.shape(edges,
       EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
-    val adj = Adjacency.build(und, parts)
+    // BFS messages carry the parent vid; weight unused → compact layout
+    val adj = Adjacency.build(und, parts, weighted = false)
     Engine.run(adj, new BfsProgram(root), RunConfig(maxIters = 0, ckpt = ckpt))
   }
 

@@ -22,12 +22,28 @@ import org.apache.spark.storage.StorageLevel
   * which is correct for gather), so no hot row ever materializes an
   * arbitrarily large neighbor array and explode work is balanced.
   */
-final class Adjacency private (
-    val out: DataFrame,        // (src: long, salt: int, nbrs: array<struct<dst:long, w:double>>)
+final class Adjacency private[graph] (
+    val out: DataFrame,        // (src: long, salt: int, nbrs) — see `weighted`
     val vertices: DataFrame,   // (vid: long) — distinct vertex universe (nnz rows ∪ cols)
     val numVertices: Long,
     val numEdges: Long,
-    val parts: Int) extends Serializable {
+    val parts: Int,
+    /** true → nbrs: array<struct<dst:long, w:double>> (16 B/edge);
+      * false → nbrs: array<long> of dst only (8 B/edge) — the compact
+      * layout for weight-ignoring programs (CC/BFS/LPA), halving cache
+      * footprint and explode traffic. Parallel edges stay distinct
+      * array elements in both layouts. */
+    val weighted: Boolean) extends Serializable {
+
+  import org.apache.spark.sql.Column
+
+  /** Exploded-neighbor accessors for the gather path: given the alias
+    * of an `explode(nbrs)` column, the destination and weight columns
+    * under this layout. */
+  def dstOf(e: Column): Column = if (weighted) e.getField("dst") else e
+  def wOf(e: Column): Column = if (weighted) e.getField("w") else lit(1.0)
+  /** All destinations across neighbor arrays (pre-explode column). */
+  def nbrDsts: Column = if (weighted) col("nbrs.dst") else col("nbrs")
 
   def unpersist(): Unit = { out.unpersist(); vertices.unpersist() }
 }
@@ -36,7 +52,7 @@ object Adjacency {
 
   /** Same adjacency with a substituted (e.g. annotated) vertex table. */
   def withVertices(a: Adjacency, vertices: DataFrame): Adjacency =
-    new Adjacency(a.out, vertices, a.numVertices, a.numEdges, a.parts)
+    new Adjacency(a.out, vertices, a.numVertices, a.numEdges, a.parts, a.weighted)
 
   /** Default neighbor-array chunk size. 2^13 structs ≈ 128 KiB per row
     * — big enough to amortize per-row overhead, small enough that a
@@ -49,9 +65,15 @@ object Adjacency {
     * so downstream groupBy/join stages reuse the partitioning without
     * an extra exchange.
     */
-  def build(edges: DataFrame, parts: Int, chunk: Int = DefaultChunk): Adjacency = {
+  /** @param weighted false → compact dst-only neighbor arrays; pass it
+    *                  from programs whose combiner ignores the weight
+    *                  (CC/BFS/LPA). An edge table without a `w` column
+    *                  is compact regardless. */
+  def build(edges: DataFrame, parts: Int, chunk: Int = DefaultChunk,
+            weighted: Boolean = true): Adjacency = {
     val spark = edges.sparkSession
     val hasW = edges.columns.contains("w")
+    val keepW = weighted && hasW
     val e = if (hasW)
       edges.select(col("src"), col("dst"), coalesce(col("w"), lit(1.0)).cast("double").as("w"))
     else
@@ -71,10 +93,11 @@ object Adjacency {
     // satisfies ClusteredDistribution(src, salt), so the aggregation runs
     // without a second exchange and the result stays partitioned by src —
     // exactly what the per-superstep gather join needs.
+    val nbrElem = if (keepW) struct(col("dst"), col("w")) else col("dst")
     val out = salted
       .repartition(parts, col("src"))
       .groupBy(col("src"), col("salt"))
-      .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"))
+      .agg(collect_list(nbrElem).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = e.select(col("src").as("vid"))
@@ -85,6 +108,7 @@ object Adjacency {
 
     val nV = vertices.count()
     val nE = e.count()
-    new Adjacency(out, vertices, nV, nE, parts)
+    out.count() // materialize the CSR cache here, not in superstep 1
+    new Adjacency(out, vertices, nV, nE, parts, keepW)
   }
 }

@@ -57,7 +57,20 @@ object Engine {
     // Hash joins beat sort-merge for the per-superstep equi joins (the
     // adjacency side would otherwise be re-sorted every iteration).
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // AQE re-plans every stage of every superstep micro-job; with the
+    // loop's partitioning fixed by construction that is pure overhead
+    // (measured ~150ms/superstep at local[32]). Restore afterwards so
+    // one-shot analytical queries keep AQE's skew handling.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val metrics = ArrayBuffer.empty[IterMetrics]
+    try runLoop(adj, program, cfg, metrics)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runLoop(adj: Adjacency, program: VertexProgram, cfg: RunConfig,
+                      metrics: ArrayBuffer[IterMetrics]): RunResult = {
+    val spark = adj.out.sparkSession
 
     val resumed = cfg.ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
     var iter = resumed.map(_._1).getOrElse(0)
@@ -65,6 +78,7 @@ object Engine {
       .getOrElse(program.init(adj.vertices))
       .localCheckpoint(true)
     var active = state.filter(col("changed")).count()
+    var prevState: DataFrame = null
 
     // Fixed-budget mode runs the full budget for stationary programs —
     // the reference disables its convergence check when an iteration
@@ -91,27 +105,51 @@ object Engine {
       // --- gather: join messages onto the persisted CSR adjacency
       // (adjacency never moves — it is hash-partitioned by src), explode
       // neighbor chunks, per-edge combine, then hash-aggregate by dst.
+      // SHUFFLE_HASH hint: the msgs side is a localCheckpoint LogicalRDD
+      // with unknown stats, so without the hint the planner falls back
+      // to sort-merge and re-sorts BOTH sides every superstep.
       val gathered = adj.out
-        .join(msgs, adj.out("src") === msgs("vid"), "inner")
+        .join(msgs.hint("SHUFFLE_HASH"), adj.out("src") === msgs("vid"), "inner")
         .select(col("msg"), explode(col("nbrs")).as("e"))
-        .select(col("e.dst").as("vid"),
-          program.edgeCombine(col("msg"), col("e.w")).as("mv"))
+        .select(adj.dstOf(col("e")).as("vid"),
+          program.edgeCombine(col("msg"), adj.wOf(col("e"))).as("mv"))
         .groupBy(col("vid"))
         .agg(program.aggregate(col("mv")).as("y"))
 
-      // --- apply: state ⟗ y, applicator expression, changed flag
-      val joined = state.join(gathered, Seq("vid"), "left_outer")
+      // --- apply: state ⟗ y, applicator expression, changed flag.
+      // Both sides are already hash-partitioned by vid (state via the
+      // preserved localCheckpoint partitioning, y via the groupBy), so
+      // with the SHUFFLE_HASH hint this join is exchange-free AND
+      // sort-free — the y side (≤V rows) becomes the build map.
+      val joined = state.join(gathered.hint("SHUFFLE_HASH"), Seq("vid"), "left_outer")
       val applied = program.apply(joined, iter)
 
-      // LAZY localCheckpoint: truncates the logical plan to a
-      // LogicalRDD immediately (the state feeds both the message side
-      // and the apply join, so an untruncated plan DOUBLES each
-      // superstep — measured exponential per-iteration slowdown), while
-      // the RDD itself materializes inside the convergence count below.
-      // Net: one action per superstep, like the reference's single
-      // allreduce (vp:1918).
-      val newState = applied.localCheckpoint(false)
-      active = newState.filter(col("changed")).count()
+      // EAGER localCheckpoint: truncates the logical plan to a
+      // LogicalRDD (the state feeds both the message side and the apply
+      // join, so an untruncated plan DOUBLES each superstep — measured
+      // exponential per-iteration slowdown) and materializes it in one
+      // job. The convergence count rides along as a CollectMetrics
+      // accumulator (`observe`) instead of a second count job — one
+      // action per superstep, like the reference's single allreduce
+      // (vp:1918).
+      val metricName = s"graft_converge_$iter"
+      val observed = applied.observe(metricName,
+        sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
+      val newState = observed.localCheckpoint(true)
+      active = observed.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) if !row.isNullAt(0) => row.getLong(0)
+        case other =>
+          if (sys.env.contains("GRAFT_DEBUG_OBSERVE"))
+            System.err.println(s"[engine] observe miss at iter $iter: $other " +
+              s"keys=${observed.queryExecution.observedMetrics.keySet}")
+          newState.filter(col("changed")).count() // fallback
+      }
+      // Free the previous superstep's checkpoint blocks — newState is
+      // fully materialized, so the old RDD is never read again. Without
+      // this, a long run accumulates one V-sized block set per
+      // superstep in the block manager.
+      if (prevState ne null) unpersistCheckpointed(prevState)
+      prevState = state
       state = newState
       iter += 1
       metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, sideSize)
@@ -122,6 +160,16 @@ object Engine {
     }
 
     cfg.ckpt.foreach(c => c.save(program.name, iter, state, metrics.toSeq))
+    if (prevState ne null) unpersistCheckpointed(prevState)
     RunResult(state, iter, metrics.toSeq)
   }
+
+  /** Drop the checkpoint blocks behind a localCheckpoint'd state frame.
+    * Only safe once every frame derived from it has been materialized —
+    * the lineage is truncated, so the blocks are the only copy. */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }
