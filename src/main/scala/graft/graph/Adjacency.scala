@@ -74,10 +74,15 @@ object Adjacency {
     val spark = edges.sparkSession
     val hasW = edges.columns.contains("w")
     val keepW = weighted && hasW
-    val e = if (hasW)
+    // The build makes several passes over the edge plan (degree agg,
+    // salted join, vertex union, count) — pin it for the duration so an
+    // expensive upstream (shaping union, LSH pair join, parquet scan)
+    // executes once, then release the blocks.
+    val e = (if (hasW)
       edges.select(col("src"), col("dst"), coalesce(col("w"), lit(1.0)).cast("double").as("w"))
     else
-      edges.select(col("src"), col("dst"), lit(1.0).as("w"))
+      edges.select(col("src"), col("dst"), lit(1.0).as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Out-degree per source — drives the per-vertex salt count. V-sized,
     // broadcast when small; Spark falls back to shuffle join otherwise.
@@ -109,6 +114,7 @@ object Adjacency {
     val nV = vertices.count()
     val nE = e.count()
     out.count() // materialize the CSR cache here, not in superstep 1
+    e.unpersist(false) // out+vertices are materialized; edge blocks done
     new Adjacency(out, vertices, nV, nE, parts, keepW)
   }
 }

@@ -139,7 +139,10 @@ object Dedup {
     * Returns (doc_id, canonical_id); docs absent from any pair are
     * their own canonical. */
   def duplicateClusters(pairs: DataFrame, parts: Int): DataFrame = {
+    // materialize the candidate pairs once — CC's shaping + adjacency
+    // build would otherwise re-execute the LSH self-join per action
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
     graft.algos.ConnectedComponents.run(edges, parts).state
       .select(col("vid").as("doc_id"), col("label").as("canonical_id"))
   }
