@@ -60,10 +60,19 @@ object Bench {
     * directory — derived from code locations, NOT java.class.path
     * (which is just the sbt launcher when run under sbt). */
   private def childClasspath: String = {
-    val graftCp = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
-    val sparkJar = classOf[SparkSession].getProtectionDomain.getCodeSource.getLocation.getPath
-    val sparkDir = new java.io.File(sparkJar).getParent
-    s"$graftCp:$sparkDir/*"
+    def src(c: Class[_]): String =
+      c.getProtectionDomain.getCodeSource.getLocation.getPath
+    val graftCp = src(getClass)
+    // Prefer the full Spark distribution jars dir (same path build.sbt
+    // uses): under sbt runMain, code-source locations point at sbt's
+    // bg-jobs staging area where each jar sits alone in its own dir, so
+    // deriving the dir from spark-sql's jar would miss the rest.
+    val dist = new java.io.File("/opt/spark/jars")
+    val sparkDir =
+      if (dist.isDirectory) dist.getPath
+      else new java.io.File(src(classOf[SparkSession])).getParent
+    val scalaJar = src(classOf[scala.Function1[_, _]])
+    s"$graftCp:$scalaJar:$sparkDir/*"
   }
 
   /** Best of k forked samples (min median-iter-sec wins): the host VM
@@ -102,7 +111,8 @@ object Bench {
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
     val line = out.linesIterator.filter(_.startsWith("[probe-json]")).toSeq.lastOption
-      .getOrElse(sys.error(s"probe at $cpus cores produced no summary; output tail:\n" +
+      .getOrElse(sys.error(s"probe at $cpus cores produced no summary; cmd:\n" +
+        cmd.mkString(" ") + "\noutput tail:\n" +
         out.linesIterator.toSeq.takeRight(20).mkString("\n")))
     def field(k: String): String =
       s""""$k":([0-9.]+)""".r.findFirstMatchIn(line).map(_.group(1))
