@@ -133,6 +133,14 @@ object SparkEntry {
         .join(Dedup.duplicateClusters(cands, parts(s)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
     }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      // exact 3-gram Jaccard over a deterministic pair set (each doc
+      // with its successor) — the LSH-candidate verification operator
+      val docs = read(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     "q_simhash" -> ((s, d) => Dedup.simhash(read(s, d, "documents"))),
     "q_fingerprints" -> ((s, d) =>
       TextAnalysis.withFingerprint(read(s, d, "documents")).select("doc_id", "fingerprint")),
@@ -271,7 +279,23 @@ object SparkEntry {
       "SELECT lang_id, COUNT(*) AS n FROM best GROUP BY lang_id"
   }
 
+  /** q_ngram_jaccard oracle: replicates Dedup.shingles exactly —
+    * tokens = `\W+` split of lowercase text WITHOUT empty-token
+    * filtering, 3-gram windows joined by ' ', distinct; empty shingle
+    * set when fewer than 3 tokens. */
+  private def ngramJaccardSql: String =
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(LOWER(text), '\\W+') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN LENGTH(t) >= 3 THEN " +
+      "list_distinct(list_transform(range(0, LENGTH(t)-2), i -> array_to_string(list_slice(t, i+1, i+3), ' '))) " +
+      "ELSE [] END AS s FROM toks), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb " +
+      "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1) " +
+      "SELECT id_a, id_b, ROUND(CASE WHEN LENGTH(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 " +
+      "ELSE CAST(LENGTH(list_intersect(sa, sb)) AS DOUBLE) / LENGTH(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard " +
+      "FROM pairs"
+
   def oracleSql: Map[String, String] = Map(
+    "q_ngram_jaccard" -> ngramJaccardSql,
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,
     "q_cc_sizes" -> ccSizesSql,
