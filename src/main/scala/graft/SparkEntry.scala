@@ -110,6 +110,19 @@ object SparkEntry {
       r.state.filter(col("dist").isNotNull)
         .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
     }),
+    "q_sssp_weighted" -> ((s, d) => {
+      // the reference's actual SSSP build is weighted (-DHAS_WEIGHT,
+      // Makefile:27-28; relax at src/apps/sssp.h:49-66) — exercise the
+      // weighted relax end-to-end with a deterministic integer-valued
+      // weight (exact in double, so engine-portable).
+      val e = read(s, d, "lineitem").select(
+        (col("l_orderkey") % 1000).as("src"),
+        (col("l_partkey") % 1000).as("dst"),
+        (lit(1.0) + (col("l_linenumber") % 5).cast("double")).as("w"))
+      val r = Traversal.sssp(e, root = 0L, parts(s))
+      r.state.filter(col("dist").isNotNull)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
+    }),
 
     // ---- training-data ops: dedup / text / similarity
     "q_dedup_exact" -> ((s, d) => Dedup.exact(read(s, d, "documents"), "doc_id", "text")),
@@ -143,23 +156,38 @@ object SparkEntry {
     }),
     "q_simhash" -> ((s, d) => Dedup.simhash(read(s, d, "documents"))),
     "q_fingerprints" -> ((s, d) =>
-      TextAnalysis.withFingerprint(read(s, d, "documents")).select("doc_id", "fingerprint")),
+      // flattened to one row per band — array columns choke the
+      // driver's pandas-side compare, and the flat shape is what a
+      // fingerprint index table looks like anyway
+      TextAnalysis.withFingerprint(read(s, d, "documents"))
+        .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("band", "minhash")))
+        .select(col("doc_id"), col("band").cast("long").as("band"), col("minhash"))),
     "q_ann_topk" -> ((s, d) => {
       val em = read(s, d, "embeddings")
-      Similarity.bruteForceTopK(em, em.limit(16), k = 5)
-        .select(col("query_id"), col("nbr_id"), col("rank"))
+      // deterministic query set (a LIMIT over a parquet scan is not)
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 16), k = 5)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
     }),
     "q_cosine_neardup" -> ((s, d) => {
       // random embeddings contain no true near-dups, so plant some:
       // shifted-id near-copies (tiny deterministic perturbation) must
       // come back out of the LSH-bucketed pair search
       val em = read(s, d, "embeddings")
-      val planted = em.limit(8).select(
+      val planted = em.filter(col("vec_id") < 8).select(
         (col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
       Similarity.cosineNearDup(em.select("vec_id", "embedding").unionAll(planted),
-        threshold = 0.99)
-    }))
+        threshold = 0.99, dim = EmbeddingDim)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }),
+    "q_media_audit" -> ((s, d) =>
+      // multimodal binary-column path: text bytes riding as opaque
+      // blobs through the media schema, audited with pure column ops
+      Multimodal.audit(Multimodal.fromDocuments(read(s, d, "documents")))))
+
+  /** Embedding dimensionality of the driver's embeddings table (fixed
+    * by the generator; the SRP plane literals depend on it). */
+  private val EmbeddingDim = 64
 
   /** Undirected closure of the derived edge table as a DuckDB CTE
     * body; `selfLoops=false` drops src==dst first when asked. */
@@ -294,7 +322,162 @@ object SparkEntry {
       "ELSE CAST(LENGTH(list_intersect(sa, sb)) AS DOUBLE) / LENGTH(list_distinct(list_concat(sa, sb))) END, 6) AS jaccard " +
       "FROM pairs"
 
+  // ------------------------------------------------------------------
+  // Sketch-pipeline oracles. These replicate the MinHash / SimHash /
+  // fingerprint / SRP pipelines term-for-term in DuckDB SQL — possible
+  // because the sketches hash with graft.functions.StableHash (sha256-
+  // derived, every intermediate < 2^63) and the SRP hyperplanes are
+  // plan-time literals. Seed constants and plane literals below are
+  // generated from the SAME Scala code the Spark plans use.
+  // ------------------------------------------------------------------
+
+  private val H = graft.functions.StableHash
+  private def hSql(e: String): String = H.h60Sql(e)
+
+  /** `\W+`-token CTEs over documents — raw (shingle semantics keep
+    * empty tokens, mirroring Dedup.shingles) and empty-filtered. */
+  private val rawToksCte =
+    "toks AS (SELECT doc_id, regexp_split_to_array(LOWER(text), '\\W+') AS t FROM documents)"
+  private val neToksCte =
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(LOWER(text), '\\W+'), " +
+      "w -> LENGTH(w) > 0) AS t FROM documents)"
+  private val shinglesCte =
+    "sh AS (SELECT doc_id, CASE WHEN LENGTH(t) >= 3 THEN " +
+      "list_distinct(list_transform(range(0, LENGTH(t)-2), i -> array_to_string(list_slice(t, i+1, i+3), ' '))) " +
+      "ELSE [] END AS s FROM toks)"
+
+  /** CTE chain ending in `cand(id_a, id_b, est_jaccard)` — the full
+    * MinHash+LSH candidate pipeline (Dedup.minhashCandidates). */
+  private def minhashCandCtes(numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
+    val aList = (0 until numHashes).map(H.seedA).mkString("[", ",", "]")
+    val bList = (0 until numHashes).map(H.seedB).mkString("[", ",", "]")
+    s"$rawToksCte, $shinglesCte, " +
+      s"hs AS (SELECT doc_id, list_transform(s, x -> ${hSql("x")} % ${H.P31}) AS hl " +
+      "FROM sh WHERE LENGTH(s) > 0), " +
+      s"seeds AS (SELECT $aList AS seed_a, $bList AS seed_b), " +
+      s"sig AS (SELECT doc_id, list_transform(range(0, $numHashes), " +
+      s"k -> list_min(list_transform(hl, h -> (seed_a[k+1] * h + seed_b[k+1]) % ${H.P31}))) AS sg " +
+      "FROM hs, seeds), " +
+      "bk AS (SELECT doc_id, sg, bb.band AS band, " +
+      hSql(s"array_to_string(list_slice(sg, bb.band*$rows+1, bb.band*$rows+$rows), ',')") +
+      s" AS bh FROM sig, (SELECT unnest(range(0, $bands)) AS band) bb), " +
+      "pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sg AS sg_a, y.sg AS sg_b " +
+      "FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+      s"cand AS (SELECT * FROM (SELECT id_a, id_b, " +
+      s"CAST(LENGTH(list_filter(range(0, $numHashes), i -> sg_a[i+1] = sg_b[i+1])) AS DOUBLE) / $numHashes " +
+      s"AS est_jaccard FROM pr) WHERE est_jaccard >= $threshold)"
+  }
+
+  private def minhashDupsSql: String =
+    s"WITH ${minhashCandCtes(64, 16, 0.5)} SELECT id_a, id_b, est_jaccard FROM cand"
+
+  /** q_dedup_clusters oracle: recursive-CTE connected components over
+    * the reproduced candidate pairs, canonical = min reachable id,
+    * un-paired docs their own canonical (same recursion pattern as
+    * ccSizesSql — UNION dedups (v,m) pairs so it terminates). */
+  private def dedupClustersSql: String =
+    s"WITH RECURSIVE ${minhashCandCtes(64, 16, 0.5)}, " +
+      "ue AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand), " +
+      "r AS (SELECT a AS v, a AS m FROM ue UNION SELECT ue.b, r.m FROM r JOIN ue ON ue.a = r.v), " +
+      "lab AS (SELECT v, MIN(m) AS canonical FROM r GROUP BY v) " +
+      "SELECT d.doc_id, COALESCE(lab.canonical, d.doc_id) AS canonical_id " +
+      "FROM documents d LEFT JOIN lab ON lab.v = d.doc_id"
+
+  /** q_simhash oracle: 60 per-bit majority votes over StableHash token
+    * hashes, packed by summing distinct powers of two. */
+  private def simhashSql: String =
+    s"WITH $neToksCte, " +
+      s"hs AS (SELECT doc_id, list_transform(t, x -> ${hSql("x")}) AS hl FROM toks WHERE LENGTH(t) > 0) " +
+      "SELECT doc_id AS id, CAST(list_sum(list_transform(range(0, 60), i -> " +
+      "CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+      "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash FROM hs"
+
+  /** q_fingerprints oracle: min 5-gram hash per mod-8 band, one row per
+    * (doc, band); empty bands stay NULL (list_min([]) = NULL = Spark's
+    * array_min of an empty filter result). */
+  private def fingerprintsSql: String =
+    s"WITH $neToksCte, " +
+      "grams AS (SELECT doc_id, CASE WHEN LENGTH(t) >= 5 THEN " +
+      s"list_transform(range(0, LENGTH(t)-4), i -> ${hSql("array_to_string(list_slice(t, i+1, i+5), ' ')")}) " +
+      s"ELSE [${hSql("array_to_string(t, ' ')")}] END AS g FROM toks) " +
+      "SELECT doc_id, bb.band AS band, list_min(list_filter(g, x -> (x % 8) = bb.band)) AS minhash " +
+      "FROM grams, (SELECT unnest(range(0, 8)) AS band) bb"
+
+  /** Strict left-fold dot product over two float-list expressions,
+    * widened to double per element — bit-identical to Similarity.dot
+    * (0.0 + p1 ≡ p1 in IEEE, then the same fold order). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, LENGTH($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
+  /** q_ann_topk oracle: brute-force cosine top-5 for the 16 query
+    * vectors, ranked on round(cos, 6) with nbr_id tie-break — the same
+    * engine-portable ordering Similarity.bruteForceTopK uses. */
+  private def annTopkSql: String =
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16), " +
+      "sc AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, " +
+      s"ROUND(${cosSql("q.embedding", "c.embedding")}, 6) AS cos " +
+      "FROM embeddings c, q WHERE q.vec_id <> c.vec_id) " +
+      "SELECT query_id, nbr_id, CAST(ROW_NUMBER() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS \"rank\" " +
+      "FROM sc QUALIFY \"rank\" <= 5"
+
+  /** q_cosine_neardup oracle: the SRP bucket pipeline with the SAME
+    * plane literals the Spark plan embeds (Similarity.srpPlanes), then
+    * exact cosine over bucket-colliding pairs. */
+  private def cosineNearDupSql(dim: Int, nPlanes: Int, tables: Int,
+                               threshold: Double): String = {
+    val wLit = (0 until tables).map(t =>
+      Similarity.srpPlanes(dim, nPlanes, t)
+        .map(row => row.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    "WITH av AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id + 1000000, list_transform(embedding, x -> x + CAST(0.001 AS REAL)) " +
+      "FROM embeddings WHERE vec_id < 8), " +
+      s"wt AS (SELECT $wLit AS w), " +
+      s"bk AS (SELECT vec_id, embedding, tt.tbl AS tbl, CAST(list_sum(list_transform(range(0, $nPlanes), " +
+      "p -> CASE WHEN list_reduce(list_transform(range(1, LENGTH(embedding)+1), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * w[tt.tbl+1][p+1][i]), (x, y) -> x + y) >= 0 " +
+      "THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bkt " +
+      s"FROM av, wt, (SELECT unnest(range(0, $tables)) AS tbl) tt), " +
+      "pr AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS ea, y.embedding AS eb " +
+      "FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id), " +
+      s"cs AS (SELECT id_a, id_b, ${cosSql("ea", "eb")} AS cosr FROM pr) " +
+      s"SELECT id_a, id_b, ROUND(cosr, 6) AS cos FROM cs WHERE cosr >= $threshold"
+  }
+
+  /** q_sssp_weighted oracle: weighted relax as recursive reachability —
+    * weights are integer-valued doubles so path sums are exact; the
+    * d < 100 bound only prunes cycle walks (true distances are far
+    * smaller on these dense mod-1000 graphs). */
+  private def ssspWeightedSql: String =
+    "WITH RECURSIVE e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, " +
+      "CAST(1 + (l_linenumber % 5) AS DOUBLE) AS w FROM lineitem), " +
+      "v AS (SELECT DISTINCT src AS vid FROM e UNION SELECT DISTINCT dst FROM e), " +
+      s"r AS (SELECT vid AS v, CAST(0 AS DOUBLE) AS d FROM v WHERE vid = 0 " +
+      s"UNION SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.v WHERE r.d < $HopBound) " +
+      "SELECT dist, COUNT(*) AS n FROM (SELECT v, MIN(d) AS dist FROM r GROUP BY v) GROUP BY dist"
+
+  private def mediaAuditSql: String =
+    "SELECT doc_id AS media_id, " +
+      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "octet_length(CAST(text AS BLOB)) AS n_bytes, " +
+      "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
+
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_dups" -> minhashDupsSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_simhash" -> simhashSql,
+    "q_fingerprints" -> fingerprintsSql,
+    "q_ann_topk" -> annTopkSql,
+    "q_cosine_neardup" -> cosineNearDupSql(EmbeddingDim, 8, 4, 0.99),
+    "q_sssp_weighted" -> ssspWeightedSql,
+    "q_media_audit" -> mediaAuditSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,

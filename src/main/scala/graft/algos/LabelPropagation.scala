@@ -35,11 +35,15 @@ object LabelPropagation {
       .localCheckpoint(true)
     var iter = 0
     var active = adj.numVertices
+    var prevState: DataFrame = null
 
     while (active > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
+      // SHUFFLE_HASH: state is a localCheckpoint LogicalRDD with
+      // unknown stats — same sort-merge-fallback hazard as Engine's
+      // gather join (Engine.scala:108-117).
       val msgs = state.select(col("vid"), col("label").as("msg"))
-        .repartition(adj.parts, col("vid"))
+        .repartition(adj.parts, col("vid")).hint("SHUFFLE_HASH")
 
       val newLabels = adj.out
         .join(msgs, adj.out("src") === msgs("vid"), "inner")
@@ -53,20 +57,34 @@ object LabelPropagation {
         .agg(max(struct(col("cnt"), (-col("nbrLabel")).as("negLabel"))).as("top"))
         .select(col("vid"), (-col("top.negLabel")).as("newLabel"))
 
-      val newState = state
-        .join(newLabels, Seq("vid"), "left_outer")
+      val applied = state
+        .join(newLabels.hint("SHUFFLE_HASH"), Seq("vid"), "left_outer")
         .select(
           col("vid"),
           coalesce(col("newLabel"), col("label")).as("label"),
           (coalesce(col("newLabel"), col("label")) =!= col("label")).as("changed"))
-        // lazy: plan truncated now, RDD materialized by the count below
-        .localCheckpoint(false)
 
-      active = newState.filter(col("changed")).count()
+      // Same one-action-per-superstep shape as Engine (Engine.scala:
+      // 135-153): the convergence count rides the materializing job as
+      // a CollectMetrics accumulator, the EAGER localCheckpoint
+      // truncates the per-iteration plan growth, and the previous
+      // superstep's checkpoint blocks are dropped once the new state is
+      // materialized — stable block-manager footprint over long runs.
+      val metricName = s"graft_lpa_converge_$iter"
+      val observed = applied.observe(metricName,
+        sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
+      val newState = observed.localCheckpoint(true)
+      active = observed.queryExecution.observedMetrics.get(metricName) match {
+        case Some(row) if !row.isNullAt(0) => row.getLong(0)
+        case _ => newState.filter(col("changed")).count() // fallback
+      }
+      if (prevState ne null) Engine.unpersistCheckpointed(prevState)
+      prevState = state
       state = newState
       iter += 1
       metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, adj.numVertices)
     }
+    if (prevState ne null) Engine.unpersistCheckpointed(prevState)
     RunResult(state, iter, metrics.toSeq)
   }
 }

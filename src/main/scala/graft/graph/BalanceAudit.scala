@@ -29,8 +29,10 @@ object BalanceAudit {
       .groupBy("pid").agg(sum(col("n")).as("edges"), count(lit(1)).as("csr_rows"))
 
   def audit(adj: Adjacency): Report = {
+    // coalesce: an EMPTY adjacency aggregates to (0, null, null, null)
     val r = perPartition(adj)
-      .agg(count(lit(1)), min(col("edges")), max(col("edges")), avg(col("edges")))
+      .agg(count(lit(1)), coalesce(min(col("edges")), lit(0L)),
+        coalesce(max(col("edges")), lit(0L)), coalesce(avg(col("edges")), lit(0.0)))
       .head()
     val (parts, mn, mx, mean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     val imb = if (mean > 0) mx / mean - 1.0 else 0.0

@@ -61,6 +61,10 @@ object Engine {
     // loop's partitioning fixed by construction that is pure overhead
     // (measured ~150ms/superstep at local[32]). Restore afterwards so
     // one-shot analytical queries keep AQE's skew handling.
+    // NOTE: this toggles a session-global flag, so Engine.run assumes
+    // ONE runner per SparkSession at a time (the reference engine is
+    // likewise one-program-per-communicator, vp:408). Concurrent runs
+    // need separate sessions (spark.newSession shares the context).
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val metrics = ArrayBuffer.empty[IterMetrics]
@@ -98,18 +102,23 @@ object Engine {
       val msgSide = if (program.stationary) state else state.filter(col("changed"))
       val msgs0 = msgSide.select(col("vid"), program.message(msgSide).as("msg"))
       val sideSize = if (program.stationary) adj.numVertices else active
+      // Hint ONLY the shuffle branch: Spark keeps the outermost
+      // join-strategy hint, so a SHUFFLE_HASH hint applied on top of
+      // broadcast(msgs0) would silently override the broadcast and make
+      // small frontiers (BFS/SSSP/CC tails) pay a shuffle stage.
       val msgs =
         if (sideSize <= cfg.broadcastMaxVertices) broadcast(msgs0)
-        else msgs0.repartition(adj.parts, col("vid"))
+        else msgs0.repartition(adj.parts, col("vid")).hint("SHUFFLE_HASH")
 
       // --- gather: join messages onto the persisted CSR adjacency
       // (adjacency never moves — it is hash-partitioned by src), explode
       // neighbor chunks, per-edge combine, then hash-aggregate by dst.
-      // SHUFFLE_HASH hint: the msgs side is a localCheckpoint LogicalRDD
-      // with unknown stats, so without the hint the planner falls back
-      // to sort-merge and re-sorts BOTH sides every superstep.
+      // SHUFFLE_HASH hint (shuffle branch only): the msgs side is a
+      // localCheckpoint LogicalRDD with unknown stats, so without the
+      // hint the planner falls back to sort-merge and re-sorts BOTH
+      // sides every superstep.
       val gathered = adj.out
-        .join(msgs.hint("SHUFFLE_HASH"), adj.out("src") === msgs("vid"), "inner")
+        .join(msgs, adj.out("src") === msgs("vid"), "inner")
         .select(col("msg"), explode(col("nbrs")).as("e"))
         .select(adj.dstOf(col("e")).as("vid"),
           program.edgeCombine(col("msg"), adj.wOf(col("e"))).as("mv"))
@@ -166,8 +175,11 @@ object Engine {
 
   /** Drop the checkpoint blocks behind a localCheckpoint'd state frame.
     * Only safe once every frame derived from it has been materialized —
-    * the lineage is truncated, so the blocks are the only copy. */
-  private def unpersistCheckpointed(df: DataFrame): Unit =
+    * the lineage is truncated, so the blocks are the only copy. Shared
+    * with every other superstep-loop in the library (LabelPropagation,
+    * Dedup.duplicateClusters) so no loop accrues one block set per
+    * iteration. */
+  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

@@ -35,7 +35,10 @@ object Stats {
       avg(c).as("mean"),
       stddev(c).as("stddev"),
       skewness(c).as("skewness"))
-    aggRow.crossJoin(modeRow).crossJoin(argmaxRow)
+    // LEFT joins (not crossJoin): an EMPTY state yields empty mode /
+    // argmax rows, which must not annihilate the (always 1-row) agg —
+    // summary stays total, with nulls in the empty-side columns.
+    aggRow.join(modeRow, lit(true), "left").join(argmaxRow, lit(true), "left")
   }
 
   def display(state: DataFrame, k: Int = 31): Unit =

@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.StableHash
 
 /** Deduplication operators for a large-scale training-data pipeline,
   * over a documents table (doc_id: long, text: string, ...). All are
@@ -45,19 +47,24 @@ object Dedup {
 
   // --------------------------------------------------------------- minhash
 
-  /** MinHash signatures for all docs: explode shingles, then ONE hash
-    * aggregation with `numHashes` min(xxhash64(seed_i, shingle))
-    * columns — a single codegen'd pass over the shingle stream with
-    * map-side partial mins, so the shuffle carries only numHashes
-    * longs per doc. (A nested transform() over a seeds array would
-    * re-evaluate the shingle expression numHashes times per row —
-    * measured 200× slower.) Returns (id, sig: array<long>). */
+  /** MinHash signatures for all docs: explode shingles, digest each
+    * shingle ONCE (StableHash.h60), then ONE hash aggregation with
+    * `numHashes` min((a_s·h + b_s) mod P) columns — a single codegen'd
+    * pass over the shingle stream with map-side partial mins, so the
+    * shuffle carries only numHashes longs per doc. (A nested
+    * transform() over a seeds array would re-evaluate the shingle
+    * expression numHashes times per row — measured 200× slower; and
+    * per-seed string hashes would digest each shingle numHashes
+    * times.) The hash family is engine-portable (StableHash), so the
+    * whole pipeline is reproducible by an independent SQL oracle.
+    * Returns (id, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol))).as("sh"))
+      .withColumn("h31", StableHash.h60(col("sh")) % lit(StableHash.P31))
     val minCols = (0 until numHashes).map(s =>
-      min(xxhash64(lit(s), col("sh"))).as(s"m$s"))
+      min(StableHash.universal(col("h31"), s)).as(s"m$s"))
     sh.groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
@@ -71,7 +78,8 @@ object Dedup {
     val rows = numHashes / bands
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("bh")))
+      b => struct(b.as("band"),
+        StableHash.h60(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))).as("bh")))
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH:
@@ -91,9 +99,16 @@ object Dedup {
                         bands: Int = 16,
                         threshold: Double = 0.7): DataFrame = {
     val withSig = minhashSignatures(docs, idCol, textCol, numHashes)
+    // persist BEFORE the self-join: without it both join sides re-run
+    // the shingle-explode + signature aggregation — the dominant stage
+    // executed twice (measured as the two slowest bench queries). The
+    // cache is numHashes longs + bands keys per doc; blocks are freed
+    // when the session ends or the caller unpersists via
+    // Engine.unpersistCheckpointed-style cleanup.
     val buckets = withSig
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = buckets.as("a")
     val b = buckets.as("b")
     val pairs = a.join(b,
@@ -143,14 +158,24 @@ object Dedup {
     // build would otherwise re-execute the LSH self-join per action
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
-    graft.algos.ConnectedComponents.run(edges, parts).state
-      .select(col("vid").as("doc_id"), col("label").as("canonical_id"))
+    val state = graft.algos.ConnectedComponents.run(edges, parts).state
+    // CC's returned state is an EAGER localCheckpoint (materialized),
+    // so the pair-edge blocks are never read again — free them now
+    // instead of leaking one block set per invocation.
+    graft.graph.Engine.unpersistCheckpointed(edges)
+    state.select(col("vid").as("doc_id"), col("label").as("canonical_id"))
   }
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash from word tokens: per-bit majority vote of token
-    * hashes, packed into a long. Expressed as 64 conditional sums over
+  /** Number of SimHash bits: 60 = the width of StableHash.h60, so the
+    * whole sketch (hash → bit votes → packing) is reproducible in any
+    * engine without 64-bit overflow games. Hamming semantics are
+    * unchanged — just a 60-bit fingerprint instead of 64. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash from word tokens: per-bit majority vote of token
+    * hashes, packed into a long. Expressed as 60 conditional sums over
     * the exploded token set — one hash aggregation, map-side combined.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -158,27 +183,28 @@ object Dedup {
       col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\W+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", StableHash.h60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { i =>
+    val packed = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
-    * banded on 4×16-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
+    * banded on 4×15-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
     * equal). */
   def simhashCandidates(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL)).as("ck"))): _*)
     val chunked = sim.select(
       col("id"), col("simhash"), explode(chunks).as("c"))
       .select(col("id"), col("simhash"), col("c.chunk"), col("c.ck"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))

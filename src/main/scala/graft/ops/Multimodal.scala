@@ -89,11 +89,26 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes", "frame_features")
   }
 
+  /** Media table derived from a text corpus: payload = the UTF-8 bytes
+    * of the text column riding as an opaque `binary` column (exactly
+    * how real blobs ride), kind round-robined by id. Exercises the
+    * binary-column path end-to-end with content any SQL engine can
+    * reproduce (text → blob cast), so the audit query is
+    * oracle-checkable. */
+  def fromDocuments(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      col(textCol).cast("binary").as("bytes"))
+
   /** Metadata + size audit as pure column ops (no decode): bytes
     * length, kind histogram-ready columns. */
   def audit(mediaDf: DataFrame): DataFrame =
     mediaDf.select(
       col("media_id"), col("kind"),
-      length(col("bytes")).as("n_bytes"),
+      length(col("bytes")).cast("long").as("n_bytes"),
       (length(col("bytes")) > 0).as("non_empty"))
 }

@@ -2,18 +2,26 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.StableHash
 
 /** Embedding similarity search over (vec_id: long,
   * embedding: array<float>) — brute-force cosine top-k as the exact
   * baseline, and a random-hyperplane LSH-bucketed variant as the path
   * that survives 10^9 vectors. Dot products use `aggregate(zip_with)`
   * higher-order expressions (codegen'd, no UDF).
+  *
+  * Numeric determinism: elements are widened to double BEFORE the
+  * multiply and accumulated in a strict left fold, so any engine that
+  * evaluates the same left-fold (e.g. a SQL list_reduce) produces the
+  * bit-identical double — which is what lets the ANN queries carry an
+  * independent SQL oracle.
   */
 object Similarity {
 
-  /** dot(a, b) over two float-array columns. */
+  /** dot(a, b) over two float-array columns (left-fold, double math). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -22,50 +30,77 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Decimals the ranking cosine is rounded to: ranking on
+    * round(cos, 6) with a vec-id tie-break makes the top-k order
+    * reproducible across engines — two engines computing cos with a
+    * different summation order differ by ~1e-15, which only flips a
+    * rank when the true value sits within 1e-15 of a 0.5e-6 rounding
+    * boundary. Raw-double ordering would flip on ANY tie-adjacent
+    * pair. */
+  val RankDecimals = 6
+
   /** Exact brute-force cosine top-k neighbors for each query vector:
-    * queries × corpus cross join, windowed rank. Correctness baseline;
-    * quadratic — only for small query sets (broadcast the queries). */
+    * queries × corpus cross join, windowed rank on the rounded cosine
+    * (see RankDecimals). Correctness baseline; quadratic — only for
+    * small query sets (broadcast the queries). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+        round(cosine(col("q_emb"), col("nbr_emb")), RankDecimals).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Sign-random-projection LSH bucket key: `nPlanes` hyperplane sign
-    * bits packed to a long. Cosine-similar vectors collide whp. */
-  def srpBucket(emb: Column, nPlanes: Int): Column =
-    srpBucketSeeded(emb, nPlanes, lit(0))
+  /** Deterministic literal hyperplanes for sign-random-projection:
+    * planes(p)(i) ∈ [−1, 1) derived from splitmix64 of (table, p, i) at
+    * PLAN BUILD time and embedded as literals — zero per-row hashing
+    * (the bucket is `nPlanes` fused multiply-add folds) and exactly
+    * reproducible in any engine that parses decimal double literals
+    * (shortest-roundtrip rendering on our side, correctly-rounded parse
+    * on theirs). */
+  def srpPlanes(dim: Int, nPlanes: Int, table: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val v = StableHash.mix64(table.toLong * 1000003L + p.toLong * 100003L + i)
+      ((v >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
+    }
+
+  /** SRP bucket key from literal planes: sign bit of each plane's
+    * projection, packed to a long. The per-plane sum is a strict
+    * left-fold (`aggregate` over `zip_with` with the plane as a
+    * literal array — same order as a SQL list_reduce, and a compact
+    * expression tree: a fully unrolled element_at chain blows janino's
+    * 64 KB method limit and drops the whole projection to interpreted
+    * mode), so buckets are engine-reproducible. */
+  def srpBucketLit(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val warr = array(w.map(lit): _*)
+      val s = aggregate(zip_with(emb, warr, (x, y) => x.cast("double") * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate NN: bucket corpus and queries by `tables` independent
     * SRP keys, join within buckets, exact-rank the union of candidates.
     * Shuffle is keyed by (table, bucket) — bucket population is
     * balanced by construction (uniform sign bits), the scale-out path
     * for ANN at 10^9 vectors. Recall grows with `tables`, cost with
-    * bucket width (2^-nPlanes of the corpus per bucket).
+    * bucket width (2^-nPlanes of the corpus per bucket). `dim` is the
+    * (fixed) embedding dimensionality — plane literals are generated
+    * from it at plan time.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nPlanes: Int = 8, tables: Int = 4): DataFrame = {
-    // per-table bucket: include the table id in the plane seed so the
-    // `tables` hash families are independent
-    def bucketedT(df: DataFrame, idName: String, embName: String): DataFrame = {
-      val t = explode(sequence(lit(0), lit(tables - 1)))
-      val base = df.select(col("vec_id").as(idName), col("embedding").as(embName), t.as("tbl"))
-      base.withColumn("bkt", srpBucketSeeded(col(embName), nPlanes, col("tbl")))
-    }
-
-    val c = bucketedT(corpus, "nbr_id", "nbr_emb")
-    val q = bucketedT(queries, "query_id", "q_emb")
+    val c = bucketed(corpus, dim, nPlanes, tables, "nbr_id", "nbr_emb")
+    val q = bucketed(queries, dim, nPlanes, tables, "query_id", "q_emb")
     val cands = c.join(q, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("q_emb"), col("nbr_emb")).as("cos"))
+        round(cosine(col("q_emb"), col("nbr_emb")), RankDecimals).as("cos"))
       .dropDuplicates("query_id", "nbr_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -73,30 +108,26 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** SRP bucket with a table-seed column mixed into every hyperplane —
-    * the `tables` hash families stay independent. Bit packing unrolls
-    * over the (static) plane count so everything stays a flat codegen
-    * expression. */
-  def srpBucketSeeded(emb: Column, nPlanes: Int, seed: Column): Column =
-    (0 until nPlanes).map { p =>
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * ((pmod(xxhash64(lit(p), i, seed), lit(2000000L)).cast("double") / 1000000.0) - 1.0)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** One pass over `df`: every row exploded into its `tables`
+    * (tbl, bkt) keys, all bucket bits computed in a single projection
+    * — no per-table re-scan. */
+  private def bucketed(df: DataFrame, dim: Int, nPlanes: Int, tables: Int,
+                       idName: String, embName: String): DataFrame =
+    df.select(col("vec_id").as(idName), col("embedding").as(embName),
+        explode(array((0 until tables).map(t => struct(
+          lit(t).as("tbl"),
+          srpBucketLit(col("embedding"), srpPlanes(dim, nPlanes, t)).as("bkt"))): _*)).as("tb"))
+      .select(col(idName), col(embName), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
 
   /** Embedding-cosine near-duplicate pairs (dedup use): all pairs with
-    * cosine ≥ threshold among LSH candidates. */
-  def cosineNearDup(vectors: DataFrame, threshold: Double,
+    * cosine ≥ threshold among LSH candidates. The bucketed frame is
+    * persisted before the self-join so projections compute once. */
+  def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int,
                     nPlanes: Int = 8, tables: Int = 4): DataFrame = {
-    def b(df: DataFrame, idName: String, embName: String): DataFrame = {
-      val base = df.select(col("vec_id").as(idName), col("embedding").as(embName),
-        explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
-      base.withColumn("bkt", srpBucketSeeded(col(embName), nPlanes, col("tbl")))
-    }
-    val l = b(vectors, "id_a", "emb_a")
-    val r = b(vectors, "id_b", "emb_b")
+    val bk = bucketed(vectors, dim, nPlanes, tables, "id", "emb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = bk.select(col("id").as("id_a"), col("emb").as("emb_a"), col("tbl"), col("bkt"))
+    val r = bk.select(col("id").as("id_b"), col("emb").as("emb_b"), col("tbl"), col("bkt"))
     l.join(r, Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -89,13 +89,16 @@ object TextAnalysis {
   /** Winnowing-style document fingerprint: hash every word 5-gram,
     * keep the minimum hash per document window band — here reduced to
     * the classic "min of k-gram hashes per band" sketch of `bands`
-    * longs. Deterministic, locality-sensitive to contiguous content. */
+    * longs. Deterministic, locality-sensitive to contiguous content;
+    * the gram hash (StableHash.h60, non-negative) is reproducible by
+    * an independent SQL oracle. */
   def fingerprint(text: Column, k: Int = 5, bands: Int = 8): Column = {
+    import graft.functions.StableHash
     val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
     val grams = when(size(toks) >= k,
       transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+        i => StableHash.h60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(StableHash.h60(concat_ws(" ", toks))))
     transform(sequence(lit(0), lit(bands - 1)),
       b => array_min(filter(grams, g => pmod(g, lit(bands)) === b)))
   }

@@ -10,9 +10,14 @@ import graft.algos._
   * phase. Usage: ./run_main.sh graft.tools.ScalingProbe <cores> <nRepos>
   */
 object ScalingProbe {
+  /** 2nd-arg mode: an existing path → parked parquet; otherwise a repo
+    * count (a mistyped path fails fast in toLong instead of silently
+    * synthesizing). */
+  private def isPath(a: String): Boolean = new java.io.File(a).exists()
+
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
-    val nRepos = if (args.length > 1 && !args(1).startsWith("/")) args(1).toLong else 1000000L
+    val nRepos = if (args.length > 1 && !isPath(args(1))) args(1).toLong else 1000000L
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-probe-$cores")
@@ -26,7 +31,7 @@ object ScalingProbe {
     // 2nd arg: either a repo count (synthesize) or a parked edge
     // parquet path (read back — same contract as Bench's samples).
     val edges =
-      if (args.length > 1 && args(1).startsWith("/")) spark.read.parquet(args(1))
+      if (args.length > 1 && isPath(args(1))) spark.read.parquet(args(1))
       else {
         val corpus = RepoCorpus.generate(spark, RepoCorpus.Config(nRepos = nRepos, filesPerRepo = 4))
         EdgeExtraction.ingest(EdgeExtraction.withSha(corpus))._1
@@ -46,9 +51,13 @@ object ScalingProbe {
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2000.0
     r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
     println(f"[probe] loopSec=$loopSec%.2f tput=${adj.numEdges * r.iterations / loopSec}%.0f edges/sec/superstep")
-    // machine-readable summary for Bench's forked-JVM sampling
-    println(s"""[probe-json] {"cores":$cores,"edges":${adj.numEdges},""" +
-      f""""medianIterSec":$medianSec%.3f,"loopSec":$loopSec%.2f,"iters":${r.iterations}}""")
+    // machine-readable summary for Bench's forked-JVM sampling —
+    // Locale.ROOT so a comma-decimal default locale can't emit "0,123"
+    // (which Bench's numeric regex would silently parse as 0).
+    println("[probe-json] " + String.format(java.util.Locale.ROOT,
+      """{"cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d}""",
+      Int.box(cores), Long.box(adj.numEdges), Double.box(medianSec),
+      Double.box(loopSec), Int.box(r.iterations)))
     spark.stop()
   }
 }

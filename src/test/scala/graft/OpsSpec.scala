@@ -102,7 +102,7 @@ class SimilaritySpec extends SparkTestBase {
     val q = vecsDF(vs.take(5))
     val exact = Similarity.bruteForceTopK(df, q, k = 3).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
-    val approx = Similarity.lshTopK(df, q, k = 3, nPlanes = 4, tables = 8).collect()
+    val approx = Similarity.lshTopK(df, q, k = 3, dim = 16, nPlanes = 4, tables = 8).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall=$recall") // loose: tiny dims, hash planes
@@ -113,7 +113,7 @@ class SimilaritySpec extends SparkTestBase {
     // plant: 100 is a tiny perturbation of 0
     val planted = vs :+ (100L -> vs.head._2.map(x => x + 0.001f))
     val dups = Similarity.cosineNearDup(vecsDF(planted), threshold = 0.99,
-      nPlanes = 4, tables = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      dim = 16, nPlanes = 4, tables = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((0L, 100L)))
   }
 }
