@@ -106,9 +106,16 @@ object Engine {
       // join-strategy hint, so a SHUFFLE_HASH hint applied on top of
       // broadcast(msgs0) would silently override the broadcast and make
       // small frontiers (BFS/SSSP/CC tails) pay a shuffle stage.
+      // No explicit repartition on the shuffle branch: state is an
+      // eager localCheckpoint whose LogicalRDD PRESERVES the hash(vid,
+      // parts) partitioning of the previous apply join, so the gather
+      // SHJ is already co-partitioned with the adjacency (hash(src,
+      // parts)) — an explicit repartition would add a second V-sized
+      // exchange per superstep. The planner inserts one itself in the
+      // (init/resume) cases where the partitioning is absent.
       val msgs =
         if (sideSize <= cfg.broadcastMaxVertices) broadcast(msgs0)
-        else msgs0.repartition(adj.parts, col("vid")).hint("SHUFFLE_HASH")
+        else msgs0.hint("SHUFFLE_HASH")
 
       // --- gather: join messages onto the persisted CSR adjacency
       // (adjacency never moves — it is hash-partitioned by src), explode
@@ -144,6 +151,12 @@ object Engine {
       val metricName = s"graft_converge_$iter"
       val observed = applied.observe(metricName,
         sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
+      // plan audit hook: GRAFT_EXPLAIN_SUPERSTEP=<iter> dumps the one
+      // physical plan that repeats every superstep (tools/Explain's
+      // simulation can drift from the real loop; this cannot).
+      if (sys.env.get("GRAFT_EXPLAIN_SUPERSTEP").contains(iter.toString))
+        System.err.println(s"[engine-plan] superstep $iter:\n" +
+          observed.queryExecution.executedPlan)
       val newState = observed.localCheckpoint(true)
       active = observed.queryExecution.observedMetrics.get(metricName) match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)

@@ -18,11 +18,27 @@ object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 8
     val nRepos = if (args.length > 1 && !isPath(args(1))) args(1).toLong else 1000000L
+    // Local-mode tuning (measured at 32c/115M edges, medians):
+    //  - shuffle compression OFF: superstep exchanges land in page
+    //    cache; LZ4 is pure CPU here (9.2s → 7.0s/iter). On a real
+    //    network-bound cluster leave it ON — this is a local setting.
+    //  - CSR cache uncompressed + 64k-row batches: the adjacency is
+    //    re-scanned every superstep; decompression and per-batch
+    //    overhead dominate the gather (7.0s → 6.4s/iter).
+    // -D system properties still win (sys.props lookup) for
+    // experiments.
+    def tuned(k: String, dflt: String) = sys.props.getOrElse(k, dflt)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-probe-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
+      .config("spark.shuffle.compress", tuned("spark.shuffle.compress", "false"))
+      .config("spark.shuffle.spill.compress", tuned("spark.shuffle.spill.compress", "false"))
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        tuned("spark.sql.inMemoryColumnarStorage.compressed", "false"))
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        tuned("spark.sql.inMemoryColumnarStorage.batchSize", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,10 +70,15 @@ object ScalingProbe {
     // machine-readable summary for Bench's forked-JVM sampling —
     // Locale.ROOT so a comma-decimal default locale can't emit "0,123"
     // (which Bench's numeric regex would silently parse as 0).
+    // imbalance = the reference's per-run balance report
+    // (matrix.hpp:562-687) riding along so skew regressions fail loudly
+    // in the round bench, not just in unit tests.
+    val bal = BalanceAudit.audit(adj)
     println("[probe-json] " + String.format(java.util.Locale.ROOT,
-      """{"cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d}""",
+      """{"cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d,"imbalance":%.4f,"balanceBreached":%b}""",
       Int.box(cores), Long.box(adj.numEdges), Double.box(medianSec),
-      Double.box(loopSec), Int.box(r.iterations)))
+      Double.box(loopSec), Int.box(r.iterations), Double.box(bal.imbalance),
+      Boolean.box(bal.breached)))
     spark.stop()
   }
 }

@@ -205,4 +205,18 @@ class LabelPropagationSpec extends SparkTestBase {
     val high = byComp(true).map(_._2).toSet
     assert(low.intersect(high).isEmpty)
   }
+
+  test("long runs keep a bounded block-manager footprint (checkpoint eviction)") {
+    // Each superstep localCheckpoints new state; the previous
+    // iteration's blocks must be dropped (Engine.unpersistCheckpointed)
+    // or a 100-iteration run accrues 100 V-sized block sets.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val es = randomEdges(80, 300, seed = 53)
+    val r = LabelPropagation.run(edgesDF(es), parts, maxIters = 25)
+    r.state.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // allowed residue: final state + adjacency out/vertices caches (+1 slack)
+    assert(after - before <= 4,
+      s"block sets grew $before -> $after over ${r.iterations} supersteps")
+  }
 }

@@ -51,6 +51,16 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("LSH self-join reads the persisted bucket frame on both sides") {
+    // the signature pipeline (shingle explode + 64-way min agg) is the
+    // dominant stage — without the persist it executes twice, once per
+    // self-join side
+    val plan = Dedup.minhashCandidates(docsDF(base), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2, s"expected both join sides on the cache:\n$plan")
+  }
+
   test("simhash: identical docs share hash; hamming bands catch near dups") {
     val sim = Dedup.simhash(docsDF(base)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
