@@ -193,7 +193,15 @@ object Bench {
     val sLo = prSampleBest(lo, pMain, iters, samples)
     val sHi = prSampleBest(hi, pMain, iters, samples)
     val sLoQ = prSampleBest(lo, pQuarter, iters, samples)
+    // third point on the efficiency-vs-cores curve: the same 4× step
+    // taken at the UNSATURATED end of the shared memory bus (2→8
+    // cores). On one box all threads share one DRAM bus, so the 8→32
+    // pair measures bus contention, not the engine; 2→8 is the regime
+    // a real cluster's executors (each with its own DRAM) live in.
+    val xlo = math.max(1, lo / 4)
+    val sXloQ = if (xlo < lo) Some(prSampleBest(xlo, pQuarter, iters, samples)) else None
     val strongEff = sHi.tput / (sLo.tput * (hi.toDouble / lo))
+    val strongEffUnsat = sXloQ.map(s => sLoQ.tput / (s.tput * (lo.toDouble / xlo)))
     // weak: throughput should grow with resources when data grows too;
     // eff = tput(4N on 4E) / (4 · tput(N on E)) ≈ t(N,E) / t(4N,4E)
     val weakEff = sHi.tput / (sLoQ.tput * (hi.toDouble / lo))
@@ -215,13 +223,13 @@ object Bench {
          |
          || config | edges | loop sec | median iter sec | edges/sec/superstep |
          ||---|---|---|---|---|
-         || N=$lo cores, E/4 | ${sLoQ.edges} | ${f"${sLoQ.loopSec}%.2f"} | ${f"${sLoQ.medianIterSec}%.3f"} | ${f"${sLoQ.tput}%.0f"} |
+         |${sXloQ.map(s => s"| ${xlo} cores, E/4 | ${s.edges} | ${f"${s.loopSec}%.2f"} | ${f"${s.medianIterSec}%.3f"} | ${f"${s.tput}%.0f"} |\n|").getOrElse("")}| N=$lo cores, E/4 | ${sLoQ.edges} | ${f"${sLoQ.loopSec}%.2f"} | ${f"${sLoQ.medianIterSec}%.3f"} | ${f"${sLoQ.tput}%.0f"} |
          || N=$lo cores, E | ${sLo.edges} | ${f"${sLo.loopSec}%.2f"} | ${f"${sLo.medianIterSec}%.3f"} | ${f"${sLo.tput}%.0f"} |
          || 4N=$hi cores, E | ${sHi.edges} | ${f"${sHi.loopSec}%.2f"} | ${f"${sHi.medianIterSec}%.3f"} | ${f"${sHi.tput}%.0f"} |
          |
          |- STRONG efficiency N→4N (same input E) = tput(4N)/(4·tput(N))
          |  = ${f"$strongEff%.3f"} (north_rule criterion: ≥0.8 N→4N executors)
-         |- WEAK efficiency (N on E/4 → 4N on E) = ${f"$weakEff%.3f"}
+         |${strongEffUnsat.map(e => f"- STRONG efficiency at the unsaturated bus point ($xlo→$lo cores,\n  same E/4 input) = $e%.3f — the same 4× executor step measured\n  where local threads are not yet fighting over the one DRAM bus;\n  on a real cluster every added executor brings its own DRAM,\n  so this is the cluster-faithful strong-scaling point\n").getOrElse("")}- WEAK efficiency (N on E/4 → 4N on E) = ${f"$weakEff%.3f"}
          |  — the cluster-growth regime: data and executors scale
          |  together, per-executor working set constant
          |- iterations to convergence (per-vertex |Δrank| ≤ 1e-6): $convIters
@@ -250,6 +258,7 @@ object Bench {
         s""""tput_lo":${f"${sLo.tput}%.0f"},"tput_hi":${f"${sHi.tput}%.0f"},""" +
         s""""tput_lo_quarter":${f"${sLoQ.tput}%.0f"},""" +
         s""""strong_eff":${f"$strongEff%.3f"},"weak_eff":${f"$weakEff%.3f"},""" +
+        strongEffUnsat.map(e => s""""cores_xlo":$xlo,"strong_eff_unsat":${f"$e%.3f"},""").getOrElse("") +
         s""""imbalance":${f"${sHi.imbalance}%.4f"},"balance_breached":${sHi.breached},""" +
         s""""pr_iters_to_convergence":$convIters}"""
     val json =

@@ -183,7 +183,38 @@ object SparkEntry {
     "q_media_audit" -> ((s, d) =>
       // multimodal binary-column path: text bytes riding as opaque
       // blobs through the media schema, audited with pure column ops
-      Multimodal.audit(Multimodal.fromDocuments(read(s, d, "documents")))))
+      Multimodal.audit(Multimodal.fromDocuments(read(s, d, "documents")))),
+
+    // ---- sources/sinks end-to-end (S2 text scan, S4 converter, S5
+    // binary reader): weighted derived edges → text edge-list (plus a
+    // planted #/% comment file the scan must skip) → fixed-width LE
+    // binary via the converter → binary reader → order-independent
+    // checksum aggregate. Any corruption anywhere in the chain moves
+    // a sum.
+    "q_edgelist_roundtrip" -> ((s, d) => {
+      val e = read(s, d, "lineitem").select(
+        (col("l_orderkey") % 1000).as("src"),
+        (col("l_partkey") % 1000).as("dst"),
+        (lit(1.0) + (col("l_linenumber") % 5).cast("double")).as("w"))
+      val work = java.nio.file.Files.createTempDirectory("graft-el").toString
+      sources.EdgeListSource.writeText(e, s"$work/text")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$work/text/zz-comments.txt"),
+        "# generated edge list\n% matrix-market style comment\n\n")
+      val t = sources.EdgeListSource.readText(s, s"$work/text")
+      sources.EdgeListSource.writeBinary(t, s"$work/edges.bin", weighted = true)
+      val b = sources.EdgeListSource.readBinary(s, s"$work/edges.bin", weighted = true)
+      b.agg(count(lit(1)).as("n_edges"),
+        sum(col("src")).as("sum_src"), sum(col("dst")).as("sum_dst"),
+        round(sum(col("w")), 2).as("sum_w"))
+    }),
+
+    // ---- streaming end-to-end: the windowed event aggregation run as
+    // an actual Structured Streaming job (file stream → watermarkless
+    // Complete-mode window agg → AvailableNow to completion), which
+    // must equal the plain batch groupBy the oracle computes.
+    "q_stream_hourly" -> ((s, d) =>
+      graft.streaming.LinkStream.runWindowedEventCounts(s, s"$d/events.parquet")))
 
   /** Embedding dimensionality of the driver's embeddings table (fixed
     * by the generator; the SRP plane literals depend on it). */
@@ -478,6 +509,14 @@ object SparkEntry {
     "q_cosine_neardup" -> cosineNearDupSql(EmbeddingDim, 8, 4, 0.99),
     "q_sssp_weighted" -> ssspWeightedSql,
     "q_media_audit" -> mediaAuditSql,
+    "q_edgelist_roundtrip" ->
+      ("WITH e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, " +
+        "CAST(1 + (l_linenumber % 5) AS DOUBLE) AS w FROM lineitem) " +
+        "SELECT COUNT(*) AS n_edges, CAST(SUM(src) AS BIGINT) AS sum_src, " +
+        "CAST(SUM(dst) AS BIGINT) AS sum_dst, ROUND(SUM(w), 2) AS sum_w FROM e"),
+    "q_stream_hourly" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 4) AS total FROM events GROUP BY 1, 2"),
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,

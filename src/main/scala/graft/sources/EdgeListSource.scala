@@ -57,8 +57,19 @@ object EdgeListSource {
     * writes an edge DataFrame as fixed-width LE binary records.
     * Single-file output for tool interop (driver-side stream over a
     * sorted collect is intentional — this is an export utility, not a
-    * data-path operator). */
-  def writeBinary(edges: DataFrame, path: String, weighted: Boolean = false): Unit = {
+    * data-path operator).
+    *
+    *  - `displace` shifts every vertex id by a constant (reference
+    *    converter.cpp:81 `displacement`, used there to re-base
+    *    1-indexed inputs).
+    *  - `synthWeightSeed`: when set and `weighted`, ignore the input
+    *    weight and synthesize one in [1, 128] per record (reference
+    *    converter.cpp:130 `1 + rand() % 128`) — deterministic here via
+    *    the splitmix64 finalizer over (seed, record index) instead of
+    *    C rand(), so exports are reproducible. */
+  def writeBinary(edges: DataFrame, path: String, weighted: Boolean = false,
+                  displace: Long = 0L,
+                  synthWeightSeed: Option[Long] = None): Unit = {
     import java.io.{BufferedOutputStream, FileOutputStream}
     val out = new BufferedOutputStream(new FileOutputStream(path))
     try {
@@ -66,13 +77,22 @@ object EdgeListSource {
         col("src").cast("long"), col("dst").cast("long"),
         coalesce(col("w").cast("double"), lit(1.0))).toLocalIterator()
       val buf = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0L
       while (it.hasNext) {
         val r = it.next()
         buf.clear()
-        buf.putInt(r.getLong(0).toInt)
-        buf.putInt(r.getLong(1).toInt)
-        if (weighted) buf.putInt(r.getDouble(2).toInt)
+        buf.putInt((r.getLong(0) + displace).toInt)
+        buf.putInt((r.getLong(1) + displace).toInt)
+        if (weighted) {
+          val w = synthWeightSeed match {
+            case Some(seed) =>
+              (1L + (graft.functions.StableHash.mix64(seed ^ i) >>> 1) % 128L).toInt
+            case None => r.getDouble(2).toInt
+          }
+          buf.putInt(w)
+        }
         out.write(buf.array(), 0, if (weighted) 12 else 8)
+        i += 1
       }
     } finally out.close()
   }

@@ -44,6 +44,25 @@ class SourcesSpec extends SparkTestBase {
     assert(back == es.toSet)
   }
 
+  test("converter extras: vid displacement and synthetic weights (reference converter.cpp:81,130)") {
+    val es = Seq((1L, 2L, 1.0), (3L, 4L, 1.0), (5L, 6L, 1.0))
+    val f = Files.createTempFile("graft-binx", ".bin").toString
+    EdgeListSource.writeBinary(wEdgesDF(es), f, weighted = true,
+      displace = 100L, synthWeightSeed = Some(7L))
+    val back = EdgeListSource.readBinary(spark, f, weighted = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.map(t => (t._1, t._2)).toSet ==
+      es.map(e => (e._1 + 100, e._2 + 100)).toSet)
+    // synthesized weights land in [1,128] and are seed-deterministic
+    assert(back.forall(t => t._3 >= 1.0 && t._3 <= 128.0))
+    val f2 = Files.createTempFile("graft-binx2", ".bin").toString
+    EdgeListSource.writeBinary(wEdgesDF(es), f2, weighted = true,
+      displace = 100L, synthWeightSeed = Some(7L))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(f)),
+      Files.readAllBytes(java.nio.file.Paths.get(f2))))
+  }
+
   test("rmat: deterministic, right cardinality, skewed") {
     val e1 = Rmat.edges(spark, scale = 10).collect().map(r => (r.getLong(0), r.getLong(1)))
     val e2 = Rmat.edges(spark, scale = 10).repartition(7)

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bounded file-stream window agg equals the batch groupBy") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      (1L, ts(1), "click", 2.5), (2L, ts(3), "click", 1.0),
+      (3L, ts(4), "error", 4.0), (4L, ts(59), "click", 0.5))
+      .toDF("event_id", "ts", "event_type", "value")
+    // two files → potentially two micro-batches; Complete mode must
+    // make the final table batch-split-independent
+    events.filter($"event_id" <= 2).coalesce(1).write.parquet(s"$dir/a.parquet")
+    events.filter($"event_id" > 2).coalesce(1).write.parquet(s"$dir/b.parquet")
+    val got = LinkStream.runWindowedEventCounts(s, s"$dir/*", sinkName = "t_stream_hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = events
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum($"value"), 4).as("total"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("incremental out-degree accumulates across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
