@@ -35,6 +35,7 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
+      .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -156,12 +156,10 @@ object SparkEntry {
     }),
     "q_simhash" -> ((s, d) => Dedup.simhash(read(s, d, "documents"))),
     "q_fingerprints" -> ((s, d) =>
-      // flattened to one row per band — array columns choke the
-      // driver's pandas-side compare, and the flat shape is what a
-      // fingerprint index table looks like anyway
-      TextAnalysis.withFingerprint(read(s, d, "documents"))
-        .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("band", "minhash")))
-        .select(col("doc_id"), col("band").cast("long").as("band"), col("minhash"))),
+      // flat (doc_id, band, minhash) index-table form: one row per
+      // non-empty band; the array form chokes the driver's pandas
+      // compare AND pays interpreted-lambda re-evaluation
+      TextAnalysis.fingerprintTable(read(s, d, "documents"))),
     "q_ann_topk" -> ((s, d) => {
       val em = read(s, d, "embeddings")
       // deterministic query set (a LIMIT over a parquet scan is not)
@@ -424,16 +422,17 @@ object SparkEntry {
       "CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
       "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash FROM hs"
 
-  /** q_fingerprints oracle: min 5-gram hash per mod-8 band, one row per
-    * (doc, band); empty bands stay NULL (list_min([]) = NULL = Spark's
-    * array_min of an empty filter result). */
+  /** q_fingerprints oracle: min 5-gram hash per mod-8 band via
+    * unnest + GROUP BY — the same group-by shape as fingerprintTable
+    * (empty bands yield no row in both engines). */
   private def fingerprintsSql: String =
     s"WITH $neToksCte, " +
       "grams AS (SELECT doc_id, CASE WHEN LENGTH(t) >= 5 THEN " +
-      s"list_transform(range(0, LENGTH(t)-4), i -> ${hSql("array_to_string(list_slice(t, i+1, i+5), ' ')")}) " +
-      s"ELSE [${hSql("array_to_string(t, ' ')")}] END AS g FROM toks) " +
-      "SELECT doc_id, bb.band AS band, list_min(list_filter(g, x -> (x % 8) = bb.band)) AS minhash " +
-      "FROM grams, (SELECT unnest(range(0, 8)) AS band) bb"
+      "list_transform(range(0, LENGTH(t)-4), i -> array_to_string(list_slice(t, i+1, i+5), ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END AS g FROM toks), " +
+      "ex AS (SELECT doc_id, unnest(g) AS gram FROM grams), " +
+      s"hs AS (SELECT doc_id, ${hSql("gram")} AS h FROM ex) " +
+      "SELECT doc_id, h % 8 AS band, MIN(h) AS minhash FROM hs GROUP BY doc_id, h % 8"
 
   /** Strict left-fold dot product over two float-list expressions,
     * widened to double per element — bit-identical to Similarity.dot

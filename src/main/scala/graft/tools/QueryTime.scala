@@ -20,7 +20,9 @@ object QueryTime {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
+      val rows = df.count()
       println(f"[qtime] $n rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
