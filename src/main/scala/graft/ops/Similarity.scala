@@ -7,8 +7,11 @@ import graft.functions.StableHash
 /** Embedding similarity search over (vec_id: long,
   * embedding: array<float>) — brute-force cosine top-k as the exact
   * baseline, and a random-hyperplane LSH-bucketed variant as the path
-  * that survives 10^9 vectors. Dot products use `aggregate(zip_with)`
-  * higher-order expressions (codegen'd, no UDF).
+  * that survives 10^9 vectors. Dot products run through the custom
+  * codegen'd Catalyst expression graft.functions.FloatDotProduct (a
+  * fused whole-stage-codegen loop; the `aggregate(zip_with)`
+  * composition it replaces is CodegenFallback and re-evaluates its
+  * interpreted lambda per element).
   *
   * Numeric determinism: elements are widened to double BEFORE the
   * multiply and accumulated in a strict left fold, so any engine that
@@ -20,8 +23,7 @@ object Similarity {
 
   /** dot(a, b) over two float-array columns (left-fold, double math). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.FloatDotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -70,18 +72,17 @@ object Similarity {
     }
 
   /** SRP bucket key from literal planes: sign bit of each plane's
-    * projection, packed to a long. The per-plane sum is a strict
-    * left-fold (`aggregate` over `zip_with` with the plane as a
-    * literal array — same order as a SQL list_reduce, and a compact
-    * expression tree: a fully unrolled element_at chain blows janino's
+    * projection, packed to a long. Each per-plane sum is a
+    * FloatDotProduct against the plane as a LITERAL array — a strict
+    * left-fold in the same order as a SQL list_reduce (bucket keys are
+    * engine-reproducible), in one codegen'd loop per plane. (A fully
+    * unrolled element_at chain was tried first: it blows janino's
     * 64 KB method limit and drops the whole projection to interpreted
-    * mode), so buckets are engine-reproducible. */
+    * mode.) */
   def srpBucketLit(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
       val warr = array(w.map(lit): _*)
-      val s = aggregate(zip_with(emb, warr, (x, y) => x.cast("double") * y),
-        lit(0.0d), (acc, v) => acc + v)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(emb, warr) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate NN: bucket corpus and queries by `tables` independent
