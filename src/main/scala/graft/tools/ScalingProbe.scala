@@ -61,7 +61,15 @@ object ScalingProbe {
         EdgeExtraction.ingest(EdgeExtraction.withSha(corpus))._1
       }
     val parts = sys.env.get("PROBE_PARTS").map(_.toInt).getOrElse(cores)
-    val adj = Adjacency.build(edges.repartition(parts), parts)
+    // PROBE_WEIGHTED=0 → compact dst-only CSR (PageRank ignores
+    // weights; the reference pr app builds without -DHAS_WEIGHT).
+    // Default stays the struct layout: interleaved A/B at 32c/115M
+    // measured the compact layout ~35% SLOWER (6.5 vs 8.8 s/iter)
+    // and equal at 8c — the halved cache bytes don't pay for the
+    // long-array Generate path here. Compact remains the right call
+    // for the frontier algos (tiny message sides, no dense agg).
+    val wtd = sys.env.getOrElse("PROBE_WEIGHTED", "1") != "0"
+    val adj = Adjacency.build(edges.repartition(parts), parts, weighted = wtd)
     val tBuild = (System.nanoTime() - t0) / 1e9
     println(f"[probe] cores=$cores parts=$parts V=${adj.numVertices} E=${adj.numEdges} buildSec=$tBuild%.1f")
 
