@@ -32,6 +32,16 @@ object SparkEntry {
   private def parts(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Partition count sized to the graph: ~100k edges per partition,
+    * capped at the session's shuffle partitions (so at real scale it
+    * IS spark.sql.shuffle.partitions — this only right-sizes the
+    * iterative superstep jobs on small derived graphs, where
+    * task-launch overhead × supersteps would otherwise dominate). */
+  private def graphParts(spark: SparkSession, edges: DataFrame): Int = {
+    val e = edges.count()
+    math.max(2, math.min(parts(spark), (e / 100000L).toInt + 1))
+  }
+
   /** Flagship: PageRank over the repo-link pipeline at tiny scale —
     * corpus → edge extraction (sha256 invariant) → 10 supersteps →
     * top-ranked repos. Exercises ingest + engine end-to-end. */
@@ -83,30 +93,33 @@ object SparkEntry {
 
     // ---- graph algorithms (J-/A-family; exact parity vs reference semantics)
     "q_triangles" -> ((s, d) => {
-      val n = TriangleCount.count(edges(s, d), parts(s))
+      val n = TriangleCount.count(edges(s, d), parts(s))  // wedge join is compute-bound: full parallelism
       val sp = s; import sp.implicits._
       Seq(n).toDF("n_triangles")
     }),
     "q_pagerank_top" -> ((s, d) => {
-      val adj = Adjacency.build(edges(s, d), parts(s))
+      val adj = Adjacency.build(edges(s, d), parts(s))  // dense stationary gather: compute-bound, full parallelism
       PageRank.run(adj, maxIters = 20).state
         .select(col("vid"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("vid")).limit(25)
     }),
     "q_cc_sizes" -> ((s, d) =>
-      ConnectedComponents.sizes(ConnectedComponents.run(edges(s, d), parts(s)).state)
+      { val e = edges(s, d); ConnectedComponents.sizes(ConnectedComponents.run(e, graphParts(s, e)).state) }
         .orderBy(asc("label"))),
     "q_lpa" -> ((s, d) => {
-      val r = LabelPropagation.run(edges(s, d), parts(s), maxIters = 5)
+      val e = edges(s, d)
+      val r = LabelPropagation.run(e, graphParts(s, e), maxIters = 5)
       r.state.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("label")).limit(20)
     }),
     "q_bfs_depths" -> ((s, d) => {
-      val r = Traversal.bfs(edges(s, d), root = 0L, parts(s))
+      val e = edges(s, d)
+      val r = Traversal.bfs(e, root = 0L, graphParts(s, e))
       r.state.groupBy(col("hops")).agg(count(lit(1)).as("n")).orderBy(asc("hops"))
     }),
     "q_sssp" -> ((s, d) => {
-      val r = Traversal.sssp(edges(s, d), root = 0L, parts(s))
+      val e = edges(s, d)
+      val r = Traversal.sssp(e, root = 0L, graphParts(s, e))
       r.state.filter(col("dist").isNotNull)
         .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
     }),
@@ -119,7 +132,7 @@ object SparkEntry {
         (col("l_orderkey") % 1000).as("src"),
         (col("l_partkey") % 1000).as("dst"),
         (lit(1.0) + (col("l_linenumber") % 5).cast("double")).as("w"))
-      val r = Traversal.sssp(e, root = 0L, parts(s))
+      val r = Traversal.sssp(e, root = 0L, graphParts(s, e))
       r.state.filter(col("dist").isNotNull)
         .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
     }),
@@ -143,7 +156,7 @@ object SparkEntry {
       val docs = read(s, d, "documents")
       val cands = Dedup.minhashCandidates(docs, threshold = 0.5)
       docs.select(col("doc_id"))
-        .join(Dedup.duplicateClusters(cands, parts(s)), Seq("doc_id"), "left_outer")
+        .join(Dedup.duplicateClusters(cands, graphParts(s, cands)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
     }),
     "q_ngram_jaccard" -> ((s, d) => {
