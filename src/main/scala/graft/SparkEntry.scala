@@ -179,6 +179,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 16), k = 5)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
     }),
+    "q_ann_lsh" -> ((s, d) => {
+      // the ANN scale path: SRP-bucketed candidate join + exact rank
+      // of the candidate union (vs q_ann_topk's brute-force baseline)
+      val em = read(s, d, "embeddings")
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 16), k = 5, dim = EmbeddingDim)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"))
+    }),
     "q_cosine_neardup" -> ((s, d) => {
       // random embeddings contain no true near-dups, so plant some:
       // shifted-id near-copies (tiny deterministic perturbation) must
@@ -470,6 +477,35 @@ object SparkEntry {
       "(PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS \"rank\" " +
       "FROM sc QUALIFY \"rank\" <= 5"
 
+  /** q_ann_lsh oracle: SRP buckets (same plane literals as the Spark
+    * plan — see cosineNearDupSql), bucket-join of the 16 query vectors
+    * against the corpus, then brute-force rank of the candidate union
+    * on round(cos, 6) with nbr_id tie-break — Similarity.lshTopK
+    * term-for-term. */
+  private def annLshSql(dim: Int, nPlanes: Int, tables: Int, k: Int): String = {
+    val wLit = (0 until tables).map(t =>
+      Similarity.srpPlanes(dim, nPlanes, t)
+        .map(row => row.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val bktOf = (emb: String) =>
+      s"CAST(list_sum(list_transform(range(0, $nPlanes), " +
+        s"p -> CASE WHEN list_reduce(list_transform(range(1, LENGTH($emb)+1), " +
+        s"i -> CAST($emb[i] AS DOUBLE) * w[tt.tbl+1][p+1][i]), (x, y) -> x + y) >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)"
+    s"WITH wt AS (SELECT $wLit AS w), " +
+      s"tts AS (SELECT unnest(range(0, $tables)) AS tbl), " +
+      s"cb AS (SELECT vec_id, embedding, tt.tbl AS tbl, ${bktOf("embedding")} AS bkt " +
+      "FROM embeddings, wt, tts tt), " +
+      "qb AS (SELECT * FROM cb WHERE vec_id < 16), " +
+      "pr AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id, " +
+      "q.embedding AS qe, c.embedding AS ce " +
+      "FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bkt = q.bkt AND q.vec_id <> c.vec_id), " +
+      s"sc AS (SELECT query_id, nbr_id, ROUND(${cosSql("qe", "ce")}, 6) AS cos FROM pr) " +
+      "SELECT query_id, nbr_id, CAST(ROW_NUMBER() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS \"rank\" " +
+      s"FROM sc QUALIFY \"rank\" <= $k"
+  }
+
   /** q_cosine_neardup oracle: the SRP bucket pipeline with the SAME
     * plane literals the Spark plan embeds (Similarity.srpPlanes), then
     * exact cosine over bucket-colliding pairs. */
@@ -518,6 +554,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_fingerprints" -> fingerprintsSql,
     "q_ann_topk" -> annTopkSql,
+    "q_ann_lsh" -> annLshSql(EmbeddingDim, 8, 4, 5),
     "q_cosine_neardup" -> cosineNearDupSql(EmbeddingDim, 8, 4, 0.99),
     "q_sssp_weighted" -> ssspWeightedSql,
     "q_media_audit" -> mediaAuditSql,
