@@ -50,6 +50,9 @@ object LinkStream {
           d.resolve(p.getFileName.toString), p.toAbsolutePath)
         d.toString
       } else path
+    // a previous run's memory-sink view would collide on re-use of the
+    // same sink name within one session
+    spark.catalog.dropTempView(sinkName)
     val q = spark.readStream.schema(schema).parquet(srcPath)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
         col("event_type"))

@@ -46,6 +46,10 @@ class StreamingSpec extends SparkTestBase {
     events.filter($"event_id" > 2).coalesce(1).write.parquet(s"$dir/b.parquet")
     val got = LinkStream.runWindowedEventCounts(s, s"$dir/*", sinkName = "t_stream_hourly")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // re-running with the same sink name in one session must not collide
+    val again = LinkStream.runWindowedEventCounts(s, s"$dir/*", sinkName = "t_stream_hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(again == got)
     val want = events
       .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
