@@ -68,9 +68,14 @@ object SparkEntry {
     "q_topk" -> ((s, d) => read(s, d, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)),
+    // NOTE value sums run over DECIMAL, not DOUBLE: double summation
+    // order differs between engines, so a float sum landing within an
+    // ulp of a 1e-4 rounding boundary would flake the oracle; the
+    // decimal aggregate is order-independent and exact.
     "q_events_hourly" -> ((s, d) => read(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))),
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("total"))),
     "q_mode_degree" -> ((s, d) => Degree.out(edges(s, d))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(desc("n_vertices"), asc("degree")).limit(1)),
@@ -152,7 +157,10 @@ object SparkEntry {
       Dedup.minhashCandidates(read(s, d, "documents"), threshold = 0.5)),
     "q_dedup_clusters" -> ((s, d) => {
       // full near-dup pipeline: minhash LSH candidates → CC clusters →
-      // canonical representative per document
+      // canonical representative per document. minhashCandidates
+      // returns a MATERIALIZED pair frame, so the graphParts count and
+      // the CC pass both read its checkpoint blocks — the LSH bucket
+      // self-join executes exactly once.
       val docs = read(s, d, "documents")
       val cands = Dedup.minhashCandidates(docs, threshold = 0.5)
       docs.select(col("doc_id"))
@@ -565,7 +573,8 @@ object SparkEntry {
         "CAST(SUM(dst) AS BIGINT) AS sum_dst, ROUND(SUM(w), 2) AS sum_w FROM e"),
     "q_stream_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
-        "ROUND(SUM(value), 4) AS total FROM events GROUP BY 1, 2"),
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2"),
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,
@@ -584,7 +593,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
-        "ROUND(SUM(value), 4) AS total FROM events GROUP BY 1, 2"),
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS total " +
+        "FROM events GROUP BY 1, 2"),
     "q_mode_degree" ->
       (s"WITH e AS ($edgesSql), deg AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src) " +
         "SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 import graft.graph._
-import graft.ckpt.IterMetrics
+import graft.ckpt.{CheckpointManager, IterMetrics}
 
 /** Synchronous label propagation (community detection) — the
   * north_rule's fourth algorithm. The reference ships only the
@@ -21,24 +21,35 @@ import graft.ckpt.IterMetrics
   */
 object LabelPropagation {
 
-  def run(edges: DataFrame, parts: Int, maxIters: Int = 10): RunResult = {
+  def run(edges: DataFrame, parts: Int, maxIters: Int = 10,
+          ckpt: Option[CheckpointManager] = None): RunResult = {
     val und = GraphShaping.shape(edges,
       EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
     val adj = Adjacency.build(und, parts, weighted = false)
-    runOnAdjacency(adj, maxIters)
+    runOnAdjacency(adj, maxIters, ckpt)
   }
 
-  def runOnAdjacency(adj: Adjacency, maxIters: Int): RunResult = {
+  /** `ckpt` gives LPA the same durable resume contract as the Engine
+    * loop (Engine.runLoop / north_rule resumability for the 4th algo):
+    * resume from the latest complete snapshot, save every `ckpt.every`
+    * supersteps plus a final snapshot. */
+  def runOnAdjacency(adj: Adjacency, maxIters: Int,
+                     ckpt: Option[CheckpointManager] = None): RunResult = {
+    val spark = adj.out.sparkSession
     val metrics = ArrayBuffer.empty[IterMetrics]
-    var state = adj.vertices
-      .select(col("vid"), col("vid").as("label"), lit(true).as("changed"))
+    val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+    var state = resumed.map(_._2)
+      .getOrElse(adj.vertices
+        .select(col("vid"), col("vid").as("label"), lit(true).as("changed")))
       .localCheckpoint(true)
-    var iter = 0
-    var active = adj.numVertices
+    var iter = resumed.map(_._1).getOrElse(0)
+    var active = state.filter(col("changed")).count()
     var prevState: DataFrame = null
 
     while (active > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(s"graft-superstep-$iter",
+        s"lpa superstep $iter", interruptOnCancel = false)
       // SHUFFLE_HASH: state is a localCheckpoint LogicalRDD with
       // unknown stats — same sort-merge-fallback hazard as Engine's
       // gather join (Engine.scala:108-117).
@@ -78,13 +89,18 @@ object LabelPropagation {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
         case _ => newState.filter(col("changed")).count() // fallback
       }
-      if (prevState ne null) Engine.unpersistCheckpointed(prevState)
+      if (prevState ne null) Engine.release(prevState)
       prevState = state
       state = newState
       iter += 1
       metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, adj.numVertices)
+      ckpt.foreach { c =>
+        if (c.shouldCheckpoint(iter)) c.save("lpa", iter, state, metrics.toSeq)
+      }
     }
-    if (prevState ne null) Engine.unpersistCheckpointed(prevState)
+    spark.sparkContext.clearJobGroup()
+    ckpt.foreach(c => c.save("lpa", iter, state, metrics.toSeq))
+    if (prevState ne null) Engine.release(prevState)
     RunResult(state, iter, metrics.toSeq)
   }
 }

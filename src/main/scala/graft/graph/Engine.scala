@@ -53,23 +53,32 @@ final case class RunResult(state: DataFrame, iterations: Int, metrics: Seq[IterM
 object Engine {
 
   def run(adj: Adjacency, program: VertexProgram, cfg: RunConfig = RunConfig()): RunResult = {
-    val spark = adj.out.sparkSession
-    // Hash joins beat sort-merge for the per-superstep equi joins (the
-    // adjacency side would otherwise be re-sorted every iteration).
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    // AQE re-plans every stage of every superstep micro-job; with the
-    // loop's partitioning fixed by construction that is pure overhead
-    // (measured ~150ms/superstep at local[32]). Restore afterwards so
-    // one-shot analytical queries keep AQE's skew handling.
-    // NOTE: this toggles a session-global flag, so Engine.run assumes
-    // ONE runner per SparkSession at a time (the reference engine is
-    // likewise one-program-per-communicator, vp:408). Concurrent runs
-    // need separate sessions (spark.newSession shares the context).
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val caller = adj.out.sparkSession
+    // The loop wants hash joins (the adjacency side would otherwise be
+    // re-sorted every iteration) and AQE OFF (it re-plans every stage
+    // of every superstep micro-job — pure overhead, ~150ms/superstep at
+    // local[32], when the loop's partitioning is fixed by
+    // construction). Both are session-global flags, so the loop runs on
+    // a CLONED session (same SparkContext — caches, checkpoint blocks
+    // and the block manager are shared) with the caller's runtime confs
+    // copied over: a concurrent analytical query on the caller's
+    // session keeps AQE skew handling even while a loop is live
+    // (Dedup.duplicateClusters nests this loop inside user queries).
+    val loop = caller.newSession()
+    caller.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(loop.conf.set(k, v)) // static confs refuse runtime set — skip
+    }
+    loop.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    val loopAdj = new Adjacency(
+      SessionBridge.rebind(loop, adj.out), SessionBridge.rebind(loop, adj.vertices),
+      adj.numVertices, adj.numEdges, adj.parts, adj.weighted)
     val metrics = ArrayBuffer.empty[IterMetrics]
-    try runLoop(adj, program, cfg, metrics)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    val r = runLoop(loopAdj, program, cfg, metrics)
+    // hand the final state back bound to the CALLER's session so
+    // downstream one-shot queries over it run with the caller's conf
+    RunResult(SessionBridge.rebind(caller, r.state), r.iterations, r.metrics)
   }
 
   private def runLoop(adj: Adjacency, program: VertexProgram, cfg: RunConfig,
@@ -97,6 +106,12 @@ object Engine {
 
     while (keepGoing) {
       val t0 = System.nanoTime()
+      // label the one job this superstep runs so a SparkListener (the
+      // per-phase timing probe, tools.PhaseListener — the reference's
+      // TIMING=-DTIMING analog, vertex_program.hpp:2134-2152) can
+      // attribute its stages to the iteration
+      spark.sparkContext.setJobGroup(s"graft-superstep-$iter",
+        s"${program.name} superstep $iter", interruptOnCancel = false)
 
       // --- scatter: message projection (frontier-filtered when nonstationary)
       val msgSide = if (program.stationary) state else state.filter(col("changed"))
@@ -170,7 +185,7 @@ object Engine {
       // fully materialized, so the old RDD is never read again. Without
       // this, a long run accumulates one V-sized block set per
       // superstep in the block manager.
-      if (prevState ne null) unpersistCheckpointed(prevState)
+      if (prevState ne null) release(prevState)
       prevState = state
       state = newState
       iter += 1
@@ -181,18 +196,24 @@ object Engine {
       }
     }
 
+    spark.sparkContext.clearJobGroup()
     cfg.ckpt.foreach(c => c.save(program.name, iter, state, metrics.toSeq))
-    if (prevState ne null) unpersistCheckpointed(prevState)
+    if (prevState ne null) release(prevState)
     RunResult(state, iter, metrics.toSeq)
   }
 
-  /** Drop the checkpoint blocks behind a localCheckpoint'd state frame.
-    * Only safe once every frame derived from it has been materialized —
-    * the lineage is truncated, so the blocks are the only copy. Shared
-    * with every other superstep-loop in the library (LabelPropagation,
-    * Dedup.duplicateClusters) so no loop accrues one block set per
-    * iteration. */
-  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
+  /** Drop the checkpoint blocks behind a localCheckpoint'd (or
+    * otherwise materialized-to-LogicalRDD) frame. Only safe once every
+    * frame derived from it has been materialized — the lineage is
+    * truncated, so the blocks are the only copy. Shared with every
+    * other superstep-loop in the library (LabelPropagation,
+    * Dedup.duplicateClusters), and the PUBLIC release half of the
+    * materialize-then-release contract the sketch operators
+    * (Dedup.minhashCandidates / simhashCandidates,
+    * Similarity.cosineNearDup) return their results under: call
+    * `Engine.release(result)` when done with the frame, so a
+    * long-lived session never accumulates per-invocation block sets. */
+  def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

@@ -92,19 +92,40 @@ object Dedup {
     * near-duplicate cluster size — uniform hashing means no skew from
     * popular vocabulary, unlike content-keyed joins.
     */
+  /** Returns a MATERIALIZED frame (eager localCheckpoint): the
+    * intermediate bucketed-signature cache is released before
+    * returning, so repeated invocations in a long-lived session leave
+    * no blocks behind beyond the (candidate-pair-sized) result itself —
+    * release that with `graft.graph.Engine.release(result)` when done.
+    * Materializing here also means downstream consumers (partition
+    * sizing counts, the CC clustering pass) re-read the pair blocks
+    * instead of re-executing the bucket self-join. */
   def minhashCandidates(docs: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         numHashes: Int = 64,
                         bands: Int = 16,
                         threshold: Double = 0.7): DataFrame = {
+    val (lazyOut, buckets) =
+      minhashCandidatesLazy(docs, idCol, textCol, numHashes, bands, threshold)
+    val out = lazyOut.localCheckpoint(true)
+    buckets.unpersist(false)
+    out
+  }
+
+  /** The un-materialized candidate pipeline + its persisted bucket
+    * frame — split out so tests can audit the self-join plan (both
+    * sides must read the cache) before the public wrapper checkpoints
+    * the result and releases the cache. */
+  private[graft] def minhashCandidatesLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     val withSig = minhashSignatures(docs, idCol, textCol, numHashes)
     // persist BEFORE the self-join: without it both join sides re-run
     // the shingle-explode + signature aggregation — the dominant stage
     // executed twice (measured as the two slowest bench queries). The
-    // cache is numHashes longs + bands keys per doc; blocks are freed
-    // when the session ends or the caller unpersists via
-    // Engine.unpersistCheckpointed-style cleanup.
+    // cache is numHashes longs + bands keys per doc, held only until
+    // the result below is materialized.
     val buckets = withSig
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), numHashes, bands)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
@@ -117,12 +138,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val out = pairs
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), x => x))
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    (out, buckets)
   }
 
   // ---------------------------------------------------------- ngram jaccard
@@ -155,14 +177,16 @@ object Dedup {
     * their own canonical. */
   def duplicateClusters(pairs: DataFrame, parts: Int): DataFrame = {
     // materialize the candidate pairs once — CC's shaping + adjacency
-    // build would otherwise re-execute the LSH self-join per action
+    // build would otherwise re-execute the pair pipeline per action
+    // (when `pairs` comes from minhashCandidates it is already an
+    // eager localCheckpoint, so this copy is a cheap block read)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
     val state = graft.algos.ConnectedComponents.run(edges, parts).state
     // CC's returned state is an EAGER localCheckpoint (materialized),
     // so the pair-edge blocks are never read again — free them now
     // instead of leaking one block set per invocation.
-    graft.graph.Engine.unpersistCheckpointed(edges)
+    graft.graph.Engine.release(edges)
     state.select(col("vid").as("doc_id"), col("label").as("canonical_id"))
   }
 
@@ -196,7 +220,9 @@ object Dedup {
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
     * banded on 4×15-bit chunks (pigeonhole: distance ≤3 ⇒ some chunk
-    * equal). */
+    * equal). Returns a MATERIALIZED frame — the chunked-fingerprint
+    * cache behind the self-join is released before returning; release
+    * the result with `graft.graph.Engine.release(result)`. */
   def simhashCandidates(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
@@ -206,7 +232,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("c.chunk"), col("c.ck"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+    val out = a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
@@ -214,5 +240,8 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .localCheckpoint(true)
+    chunked.unpersist(false)
+    out
   }
 }

@@ -109,31 +109,49 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Fail-fast dimensionality gate: `FloatDotProduct` returns null on
+    * an array-length mismatch, `when(null >= 0)` falls through to 0,
+    * and every SRP bit silently becomes 0 — all vectors collapse into
+    * one bucket and the candidate join degenerates to a quadratic
+    * cross-join with no error. Raise instead, at the first mismatched
+    * row. */
+  private def checkedDim(emb: Column, dim: Int): Column =
+    when(size(emb) === dim, emb).otherwise(raise_error(concat(
+      lit(s"graft.Similarity: embedding dimensionality mismatch — expected $dim, got "),
+      size(emb).cast("string"))))
+
   /** One pass over `df`: every row exploded into its `tables`
     * (tbl, bkt) keys, all bucket bits computed in a single projection
     * — no per-table re-scan. */
   private def bucketed(df: DataFrame, dim: Int, nPlanes: Int, tables: Int,
-                       idName: String, embName: String): DataFrame =
+                       idName: String, embName: String): DataFrame = {
+    val emb = checkedDim(col("embedding"), dim)
     df.select(col("vec_id").as(idName), col("embedding").as(embName),
         explode(array((0 until tables).map(t => struct(
           lit(t).as("tbl"),
-          srpBucketLit(col("embedding"), srpPlanes(dim, nPlanes, t)).as("bkt"))): _*)).as("tb"))
+          srpBucketLit(emb, srpPlanes(dim, nPlanes, t)).as("bkt"))): _*)).as("tb"))
       .select(col(idName), col(embName), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
 
   /** Embedding-cosine near-duplicate pairs (dedup use): all pairs with
     * cosine ≥ threshold among LSH candidates. The bucketed frame is
-    * persisted before the self-join so projections compute once. */
+    * persisted before the self-join so projections compute once, and
+    * released once the (materialized) result exists — release the
+    * returned frame itself with `graft.graph.Engine.release(result)`. */
   def cosineNearDup(vectors: DataFrame, threshold: Double, dim: Int,
                     nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val bk = bucketed(vectors, dim, nPlanes, tables, "id", "emb")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bk.select(col("id").as("id_a"), col("emb").as("emb_a"), col("tbl"), col("bkt"))
     val r = bk.select(col("id").as("id_b"), col("emb").as("emb_b"), col("tbl"), col("bkt"))
-    l.join(r, Seq("tbl", "bkt"))
+    val out = l.join(r, Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .localCheckpoint(true)
+    bk.unpersist(false)
+    out
   }
 }

@@ -53,10 +53,15 @@ object LinkStream {
     // a previous run's memory-sink view would collide on re-use of the
     // same sink name within one session
     spark.catalog.dropTempView(sinkName)
+    // DECIMAL sum, not double: order-independent across engines AND
+    // across micro-batch carve-ups, so the streamed total is exactly
+    // the batch oracle's total by construction (a double sum's value
+    // depends on accumulation order)
     val q = spark.readStream.schema(schema).parquet(srcPath)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("total"))
       .writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")

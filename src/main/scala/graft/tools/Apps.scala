@@ -29,7 +29,9 @@ object Apps {
 
   final case class Summary(app: String, iterations: Int, checksum: Double,
                            reachable: Option[Long], executeSec: Double,
-                           top: Seq[(Long, Double)])
+                           top: Seq[(Long, Double)],
+                           state: Option[DataFrame] = None,
+                           stateCol: String = "")
 
   def load(spark: SparkSession, file: String, weighted: Boolean): DataFrame =
     if (file.endsWith(".bin")) EdgeListSource.readBinary(spark, file, weighted)
@@ -55,25 +57,26 @@ object Apps {
       case "pr" =>
         val adj = Adjacency.build(edges, parts)
         val r = PageRank.run(adj, maxIters = if (iters > 0) iters else 20)
-        Summary("pr", r.iterations, r.checksum("rank"), None, sec, topOf(r.state, "rank"))
+        Summary("pr", r.iterations, r.checksum("rank"), None, sec,
+          topOf(r.state, "rank"), Some(r.state), "rank")
       case "deg" =>
         val d = Degree.out(edges)
         val c = cks(d, "degree")
-        Summary("deg", 1, c, None, sec, topOf(d, "degree"))
+        Summary("deg", 1, c, None, sec, topOf(d, "degree"), Some(d), "degree")
       case "cc" =>
         val r = ConnectedComponents.run(edges, parts)
         Summary("cc", r.iterations, cks(r.state, "label"),
-          Some(r.state.count()), sec, topOf(r.state, "label"))
+          Some(r.state.count()), sec, topOf(r.state, "label"), Some(r.state), "label")
       case "bfs" =>
         val r = Traversal.bfs(edges, root, parts)
         val reached = r.state.filter(col("hops").isNotNull)
         Summary("bfs", r.iterations, cks(reached, "hops"),
-          Some(reached.count()), sec, topOf(reached, "hops"))
+          Some(reached.count()), sec, topOf(reached, "hops"), Some(r.state), "hops")
       case "sssp" =>
         val r = Traversal.sssp(edges, root, parts)
         val reached = r.state.filter(col("dist").isNotNull)
         Summary("sssp", r.iterations, cks(reached, "dist"),
-          Some(reached.count()), sec, topOf(reached, "dist"))
+          Some(reached.count()), sec, topOf(reached, "dist"), Some(r.state), "dist")
       case "tc" =>
         val n = TriangleCount.count(edges, parts)
         Summary("tc", 1, n.toDouble, None, sec, Seq.empty)
@@ -116,6 +119,16 @@ object Apps {
     s.reachable.foreach(n => println(s"Reachable vertices: $n"))
     println(f"Execute time: ${s.executeSec * 1e3}%.1f ms")
     s.top.foreach { case (vid, v) => println(f"  [$vid%d] $v%.6f") }
+    // reference display(): the first 31 states by vid, printed as
+    // `vertex[<vid>]:<state>` (vertex_program.hpp:2168-2177; count=31
+    // in the app mains) — kept greppable for reference post-processing
+    s.state.foreach { st =>
+      st.select(col("vid"), col(s.stateCol).cast("double").as("v"))
+        .orderBy(asc("vid")).limit(31).collect()
+        .foreach(r => println(
+          s"vertex[${r.getLong(0)}]:" +
+            (if (r.isNullAt(1)) "inf" else f"${r.getDouble(1)}%.6f")))
+    }
     println(f"$app end-to-end: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }

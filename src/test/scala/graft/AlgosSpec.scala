@@ -206,6 +206,40 @@ class LabelPropagationSpec extends SparkTestBase {
     assert(low.intersect(high).isEmpty)
   }
 
+  test("engine loop tuning never leaks into the caller's session (cloned-session AQE)") {
+    // The superstep loop disables AQE + sort-merge preference — on a
+    // CLONED session. A concurrent analytical query on the caller's
+    // session must keep AQE; assert the caller conf is intact WHILE the
+    // loop is live (program.apply runs on the driver mid-loop).
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    var checkedMidLoop = false
+    val und = GraphShaping.shape(edgesDF(Fixtures.k4),
+      EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+    val adj = Adjacency.build(und, parts)
+    val inner = new MinLabelProgram("cc")
+    val probe = new VertexProgram {
+      val name = "cc-aqe-probe"
+      val stationary = false
+      def init(v: org.apache.spark.sql.DataFrame) = inner.init(v)
+      def message(s: org.apache.spark.sql.DataFrame) = inner.message(s)
+      def edgeCombine(m: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+        inner.edgeCombine(m, w)
+      def aggregate(v: org.apache.spark.sql.Column) = inner.aggregate(v)
+      def apply(joined: org.apache.spark.sql.DataFrame, iter: Int) = {
+        assert(TestSpark.spark.conf.get("spark.sql.adaptive.enabled") == "true",
+          "engine loop leaked AQE=false into the caller session")
+        checkedMidLoop = true
+        inner.apply(joined, iter)
+      }
+    }
+    val r = Engine.run(adj, probe, RunConfig(maxIters = 0))
+    assert(checkedMidLoop && r.iterations >= 1)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // and the returned state is bound back to the caller's session
+    assert(r.state.sparkSession eq spark)
+    adj.unpersist()
+  }
+
   test("long runs keep a bounded block-manager footprint (checkpoint eviction)") {
     // Each superstep localCheckpoints new state; the previous
     // iteration's blocks must be dropped (Engine.unpersistCheckpointed)

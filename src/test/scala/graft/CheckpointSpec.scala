@@ -50,6 +50,24 @@ class CheckpointSpec extends SparkTestBase {
     adj.unpersist()
   }
 
+  test("LPA resumes from a mid-run snapshot with identical final labels") {
+    val es = randomEdges(120, 500, seed = 61)
+    val straight = LabelPropagation.run(edgesDF(es), parts, maxIters = 6)
+      .state.select("vid", "label").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+    // "killed" after 3 supersteps (snapshot every 3), then a fresh run
+    // resumes at iter=3 and finishes the same 6-superstep budget
+    val dir = Files.createTempDirectory("graft-ckpt-lpa").toString
+    val mgr = new CheckpointManager(dir, every = 3)
+    LabelPropagation.run(edgesDF(es), parts, maxIters = 3, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(3))
+    val resumed = LabelPropagation.run(edgesDF(es), parts, maxIters = 6, ckpt = Some(mgr))
+      .state.select("vid", "label").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(resumed == straight, "LPA resume diverged from the uninterrupted run")
+  }
+
   test("exact-state algorithms resume bit-identically (CC)") {
     val es = randomEdges(200, 400, seed = 57)
     val straight = ConnectedComponents.run(edgesDF(es), parts)

@@ -54,11 +54,31 @@ class DedupSpec extends SparkTestBase {
   test("LSH self-join reads the persisted bucket frame on both sides") {
     // the signature pipeline (shingle explode + 64-way min agg) is the
     // dominant stage — without the persist it executes twice, once per
-    // self-join side
-    val plan = Dedup.minhashCandidates(docsDF(base), threshold = 0.5)
-      .queryExecution.executedPlan.toString
+    // self-join side (audited on the lazy pipeline; the public wrapper
+    // checkpoints the result, which hides the plan)
+    val (lazyOut, buckets) =
+      Dedup.minhashCandidatesLazy(docsDF(base), "doc_id", "text", 64, 16, 0.5)
+    val plan = lazyOut.queryExecution.executedPlan.toString
     val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
     assert(cacheScans >= 2, s"expected both join sides on the cache:\n$plan")
+    buckets.unpersist(false)
+  }
+
+  test("sketch ops release their internal caches; results release via Engine.release") {
+    val sc = spark.sparkContext
+    def blocks(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before = blocks()
+
+    val mh = Dedup.minhashCandidates(docsDF(base), threshold = 0.5)
+    assert(mh.count() >= 1)
+    val sh = Dedup.simhashCandidates(Dedup.simhash(docsDF(base)), maxHamming = 16)
+    assert(sh.count() >= 1)
+    // each op may leave exactly ONE new block set: its materialized
+    // (checkpointed) result — never the internal bucket/chunk caches
+    graft.graph.Engine.release(mh)
+    graft.graph.Engine.release(sh)
+    assert(blocks() == before,
+      s"sketch ops leaked cache blocks: ${blocks() -- before}")
   }
 
   test("simhash: identical docs share hash; hamming bands catch near dups") {
@@ -125,6 +145,20 @@ class SimilaritySpec extends SparkTestBase {
     val dups = Similarity.cosineNearDup(vecsDF(planted), threshold = 0.99,
       dim = 16, nPlanes = 4, tables = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((0L, 100L)))
+  }
+
+  test("dimensionality mismatch raises instead of silently degenerating") {
+    // FloatDotProduct yields null on length mismatch and when(null>=0)
+    // would otherwise quietly zero every SRP bit — collapsing all
+    // vectors into one bucket (a quadratic cross-join). Must fail fast.
+    val bad = randVecs(8, 16, seed = 73) :+ (99L -> Array.fill(12)(0.5f))
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(vecsDF(bad), vecsDF(bad.take(2)), k = 3,
+        dim = 16, nPlanes = 4, tables = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dimensionality mismatch")), s"got: $ex")
   }
 }
 
