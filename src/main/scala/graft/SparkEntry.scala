@@ -108,6 +108,17 @@ object SparkEntry {
         .select(col("vid"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("vid")).limit(25)
     }),
+    "q_pagerank_kernel" -> ((s, d) => {
+      // the tile-compiled RDD SpMV fast path (graph/SpmvKernel) against
+      // the SAME 20-step unrolled DuckDB oracle as the Catalyst engine
+      // (q_pagerank_top) — both execution paths proven hash-identical
+      val e = edges(s, d)
+      val g = graph.SpmvKernel.compile(e, graphParts(s, e))
+      val r = g.pagerank(maxIters = 20)
+      g.unpersist()
+      r.state.select(col("vid"), round(col("rank"), 6).as("rank"))
+        .orderBy(desc("rank"), asc("vid")).limit(25)
+    }),
     "q_cc_sizes" -> ((s, d) =>
       { val e = edges(s, d); ConnectedComponents.sizes(ConnectedComponents.run(e, graphParts(s, e)).state) }
         .orderBy(asc("label"))),
@@ -210,6 +221,23 @@ object SparkEntry {
       // multimodal binary-column path: text bytes riding as opaque
       // blobs through the media schema, audited with pure column ops
       Multimodal.audit(Multimodal.fromDocuments(read(s, d, "documents")))),
+    "q_wav_decode" -> ((s, d) => {
+      // REAL audio decode end-to-end: build a deterministic PCM16 WAV
+      // blob per document, then parse it back with the byte-level
+      // RIFF/WAVE decoder — rate, frame count, duration and the sample
+      // sum all come out of the PARSED bytes, while the oracle
+      // recomputes them from doc_id arithmetic alone. Any header or
+      // sample-extraction bug breaks the hash.
+      val sp = s; import sp.implicits._
+      read(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (((id * 31 + i * 7) % 4096) - 2048).toShort)
+        val w = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(8000, samples))
+        (id, w.sampleRate.toLong, w.nFrames.toLong, w.durationMs,
+          w.samples.foldLeft(0L)(_ + _))
+      }.toDF("doc_id", "sample_rate", "n_samples", "duration_ms", "sum_samples")
+    }),
 
     // ---- sources/sinks end-to-end (S2 text scan, S4 converter, S5
     // binary reader): weighted derived edges → text edge-list (plus a
@@ -556,7 +584,21 @@ object SparkEntry {
       "octet_length(CAST(text AS BLOB)) AS n_bytes, " +
       "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
 
+  /** q_wav_decode oracle: the WAV builder's parameters recomputed from
+    * doc_id arithmetic — the Spark side must recover the identical
+    * numbers from the ENCODED BYTES (header parse + PCM extraction).
+    * `//` = DuckDB integer division, matching the decoder's Long
+    * division for duration. */
+  private def wavDecodeSql: String =
+    "SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+      "CAST(64 + doc_id % 64 AS BIGINT) AS n_samples, " +
+      "CAST(((64 + doc_id % 64) * 1000) // 8000 AS BIGINT) AS duration_ms, " +
+      "CAST(list_sum(list_transform(range(0, CAST(64 + doc_id % 64 AS INT)), " +
+      "i -> (doc_id * 31 + i * 7) % 4096 - 2048)) AS BIGINT) AS sum_samples " +
+      "FROM documents"
+
   def oracleSql: Map[String, String] = Map(
+    "q_wav_decode" -> wavDecodeSql,
     "q_minhash_dups" -> minhashDupsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_simhash" -> simhashSql,
@@ -583,6 +625,7 @@ object SparkEntry {
     "q_sssp" -> ssspSql,
     "q_lpa" -> lpaSql(5),
     "q_pagerank_top" -> pagerankSql(20),
+    "q_pagerank_kernel" -> pagerankSql(20),
     "q_checksum" ->
       "SELECT ROUND(SUM(l_quantity), 2) AS checksum, COUNT(*) AS n_rows FROM lineitem",
     "q_stats" ->

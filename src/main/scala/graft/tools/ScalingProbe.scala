@@ -47,6 +47,18 @@ object ScalingProbe {
       // resource). Off by default in Spark; safe for this plan shape.
       .config("spark.sql.codegen.aggregate.map.vectorized.enable",
         tuned("spark.sql.codegen.aggregate.map.vectorized.enable", "true"))
+      // Kryo: fast primitive/array paths for the kernel's RDD-level
+      // shuffles (Java object streams were measured 10-20× the
+      // kernel's compute time on the packed-accumulator exchange)
+      .config("spark.serializer",
+        tuned("spark.serializer", "org.apache.spark.serializer.KryoSerializer"))
+      // Force the sort-based shuffle writer: the bypass-merge writer
+      // (default below 200 partitions) opens P files per map task —
+      // P² file opens per superstep, measured 3× the whole iteration
+      // on this VM's virtio disk. A production cluster runs with
+      // >200 partitions where the sort writer is the default anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        tuned("spark.shuffle.sort.bypassMergeThreshold", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,40 +73,73 @@ object ScalingProbe {
         EdgeExtraction.ingest(EdgeExtraction.withSha(corpus))._1
       }
     val parts = sys.env.get("PROBE_PARTS").map(_.toInt).getOrElse(cores)
-    // PROBE_WEIGHTED=0 → compact dst-only CSR (PageRank ignores
-    // weights; the reference pr app builds without -DHAS_WEIGHT).
-    // Default stays the struct layout: interleaved A/B at 32c/115M
-    // measured the compact layout ~35% SLOWER (6.5 vs 8.8 s/iter)
-    // and equal at 8c — the halved cache bytes don't pay for the
-    // long-array Generate path here. Compact remains the right call
-    // for the frontier algos (tiny message sides, no dense agg).
-    val wtd = sys.env.getOrElse("PROBE_WEIGHTED", "1") != "0"
-    val adj = Adjacency.build(edges.repartition(parts), parts, weighted = wtd)
-    val tBuild = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] cores=$cores parts=$parts V=${adj.numVertices} E=${adj.numEdges} buildSec=$tBuild%.1f")
-
     val iters = sys.env.get("PROBE_ITERS").map(_.toInt).getOrElse(10)
-    val r = PageRank.run(adj, maxIters = iters)
-    val loopSec = r.metrics.map(_.wallMs).sum / 1000.0
-    val sorted = r.metrics.map(_.wallMs).sorted
+    // PROBE_KERNEL=0 → the general DataFrame Engine path (Catalyst
+    // superstep jobs); default = the tile-compiled SpmvKernel fast
+    // path, which is what a production fixed-iteration PageRank run
+    // uses. Both are measured with the PhaseListener so the probe
+    // reports the reference's TIMING split (scatter_gather/combine vs
+    // apply vs barrier).
+    val kernelMode = sys.env.getOrElse("PROBE_KERNEL", "1") != "0"
+
+    val (mode, nV, nE, rIters, iterWalls, imbalance, pl) =
+      if (kernelMode) {
+        val g = graft.graph.SpmvKernel.compile(edges, parts)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=kernel cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.pagerank(maxIters = iters))
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        ("kernel", g.numVertices, g.numEdges, r.iterations,
+          r.metrics.map(_.wallMs), g.edgeImbalance, pl)
+      } else {
+        // PROBE_WEIGHTED=0 → compact dst-only CSR (PageRank ignores
+        // weights; the reference pr app builds without -DHAS_WEIGHT).
+        // Default stays the struct layout: interleaved A/B at 32c/115M
+        // measured the compact layout ~35% SLOWER (6.5 vs 8.8 s/iter)
+        // and equal at 8c — the halved cache bytes don't pay for the
+        // long-array Generate path here.
+        val wtd = sys.env.getOrElse("PROBE_WEIGHTED", "1") != "0"
+        val adj = Adjacency.build(edges.repartition(parts), parts, weighted = wtd)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=engine cores=$cores parts=$parts V=${adj.numVertices} E=${adj.numEdges} buildSec=$tBuild%.1f")
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(PageRank.run(adj, maxIters = iters))
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        val bal = BalanceAudit.audit(adj)
+        ("engine", adj.numVertices, adj.numEdges, r.iterations,
+          r.metrics.map(_.wallMs), bal.imbalance, pl)
+      }
+
+    val loopSec = iterWalls.sum / 1000.0
+    val sorted = iterWalls.sorted
     val medianSec =
       if (sorted.isEmpty) 0.0
       else if (sorted.size % 2 == 1) sorted(sorted.size / 2) / 1000.0
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2000.0
-    r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
-    println(f"[probe] loopSec=$loopSec%.2f tput=${adj.numEdges * r.iterations / loopSec}%.0f edges/sec/superstep")
+    println(f"[probe] loopSec=$loopSec%.2f tput=${nE * rIters / loopSec}%.0f edges/sec/superstep")
+
+    // reference TIMING block (vertex_program.hpp:2132-2141): per-phase
+    // sums from real stage metrics. "Scatter_gather+combine" = the
+    // shuffle-map stage; "Apply" = the result stage; "Barrier" = the
+    // driver residue the reference's MPI barrier corresponds to.
+    val ph = pl.summarize(iterWalls)
+    println(f"Init           time: ${0.0}%.1f ms (build excluded from loop)")
+    println(f"Scatter_gather time (sum): ${ph.gatherMs.toDouble}%.1f ms (cpu ${ph.gatherCpuMs.toDouble}%.1f ms)")
+    println(f"Apply          time (sum): ${ph.applyMs.toDouble}%.1f ms (cpu ${ph.applyCpuMs.toDouble}%.1f ms)")
+    println(f"Barrier        time (sum): ${ph.barrierMs.toDouble}%.1f ms (median/iter ${ph.medianBarrierMs.toDouble}%.1f ms)")
+    println(f"Execute        time: ${loopSec * 1e3}%.1f ms")
+
     // machine-readable summary for Bench's forked-JVM sampling —
     // Locale.ROOT so a comma-decimal default locale can't emit "0,123"
     // (which Bench's numeric regex would silently parse as 0).
     // imbalance = the reference's per-run balance report
     // (matrix.hpp:562-687) riding along so skew regressions fail loudly
     // in the round bench, not just in unit tests.
-    val bal = BalanceAudit.audit(adj)
     println("[probe-json] " + String.format(java.util.Locale.ROOT,
-      """{"cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d,"imbalance":%.4f,"balanceBreached":%b}""",
-      Int.box(cores), Long.box(adj.numEdges), Double.box(medianSec),
-      Double.box(loopSec), Int.box(r.iterations), Double.box(bal.imbalance),
-      Boolean.box(bal.breached)))
+      """{"mode":"%s","cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d,"imbalance":%.4f,"balanceBreached":%b,"gatherMs":%d,"applyMs":%d,"barrierMs":%d,"medBarrierMs":%d}""",
+      mode, Int.box(cores), Long.box(nE), Double.box(medianSec),
+      Double.box(loopSec), Int.box(rIters), Double.box(imbalance),
+      Boolean.box(imbalance > 0.2), Long.box(ph.gatherMs),
+      Long.box(ph.applyMs), Long.box(ph.barrierMs), Long.box(ph.medianBarrierMs)))
     spark.stop()
   }
 }

@@ -224,11 +224,57 @@ class MultimodalSpec extends SparkTestBase {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 30)
     assert(feats.forall(_.features.length == 16))
-    assert(feats.forall(_.n_bytes == 512))
+    // image/video rows keep the fixed opaque payload; audio rows carry
+    // real WAV containers (44-byte header + 2 bytes/frame)
+    feats.foreach { f =>
+      if (f.kind == "audio") assert(f.n_bytes > 44 && (f.n_bytes - 44) % 2 == 0)
+      else assert(f.n_bytes == 512)
+    }
     // deterministic: same id → same features across runs
     val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30, 512))
       .collect().map(f => f.media_id -> f.features.toVector).toMap
     feats.foreach(f => assert(again(f.media_id) == f.features.toVector))
+  }
+
+  test("WAV codec: PCM16 round-trip is exact, duration from frame count") {
+    val samples = Array.tabulate[Short](1603)(i => ((i * 37) % 4096 - 2048).toShort)
+    val w = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(16000, samples))
+    assert(w.sampleRate == 16000 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.nFrames == 1603 && w.durationMs == 1603L * 1000 / 16000)
+    assert(w.samples.toSeq == samples.toSeq) // bit-exact sample recovery
+    // stereo: frames = samples/channels
+    val st = Multimodal.decodeWavPcm16(
+      Multimodal.encodeWavPcm16(8000, Array[Short](1, -1, 2, -2), channels = 2))
+    assert(st.channels == 2 && st.nFrames == 2 && st.durationMs == 0)
+  }
+
+  test("WAV decoder walks extra chunks and rejects non-WAV payloads") {
+    // inject a LIST chunk between fmt and data: decoder must skip it
+    val base = Multimodal.encodeWavPcm16(8000, Array[Short](5, 6, 7))
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val padded = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix RIFF size field (+12 bytes)
+    val bb = java.nio.ByteBuffer.wrap(padded).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 12)
+    val w = Multimodal.decodeWavPcm16(padded)
+    assert(w.samples.toSeq == Seq[Short](5, 6, 7))
+
+    intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(Array.fill[Byte](100)(7)))
+    intercept[IllegalArgumentException](Multimodal.decodeWavPcm16("RIFFxxxxWAVE".getBytes))
+    // truncated data chunk (header claims more than the payload has)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWavPcm16(base.slice(0, base.length - 2)))
+  }
+
+  test("audio features come from decoded samples, not byte hashes") {
+    // two WAVs with identical byte LENGTH but different samples must
+    // produce different features; silence must produce all-zero bins
+    val loud = Multimodal.encodeWavPcm16(8000, Array.fill[Short](64)(20000))
+    val quiet = Multimodal.encodeWavPcm16(8000, Array.fill[Short](64)(0))
+    val fl = Multimodal.audioFeatures(Multimodal.decodeWavPcm16(loud))
+    val fq = Multimodal.audioFeatures(Multimodal.decodeWavPcm16(quiet))
+    assert(fq.forall(_ == 0.0f))
+    assert(fl.forall(b => math.abs(b - 20000 / 32768.0f) < 1e-4f))
   }
 
   test("frame sampling strides video payloads only") {
