@@ -57,6 +57,34 @@ import graft.ckpt.IterMetrics
   */
 object SpmvKernel {
 
+  /** Minimal open-addressing Long→Int map (linear probing, splitmix
+    * finalizer) for the compile phase: a binarySearch per edge was the
+    * compile bottleneck (460M edges × ~20 probes); this is O(1) with
+    * two primitive arrays and no boxing. Build-time only. */
+  private final class LongIntMap(expected: Int) {
+    private val cap = Integer.highestOneBit(math.max(16, expected * 2) * 2 - 1)
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    def put(k: Long, v: Int): Unit = {
+      var i = idx(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v; used(i) = true
+    }
+    /** Caller guarantees the key exists. */
+    def get(k: Long): Int = {
+      var i = idx(k)
+      while (keys(i) != k || !used(i)) i = (i + 1) & mask
+      vals(i)
+    }
+  }
+
   /** Identity partitioner for pre-bucketed (Int-keyed) tile traffic. */
   private final class IdPartitioner(val numPartitions: Int) extends Partitioner {
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
@@ -106,6 +134,15 @@ object SpmvKernel {
 
     private val sc = spark.sparkContext
     private val idPart = new IdPartitioner(parts)
+
+    /** Exact per-superstep exchange volume in DOUBLES: Σ over tiles of
+      * |distinct destinations| — every superstep ships exactly one
+      * double per tile-destination. Bounded by min(E, P·V); grows with
+      * P toward E as per-tile destination dedup thins out (the
+      * all-to-all volume physics a cluster pays in network). */
+    def exchangeDoubles: Long = kernel
+      .map(kp => kp.tiles.map(t => if (t == null) 0L else t.nDsts.toLong).sum)
+      .fold(0L)(_ + _)
 
     /** max/mean−1 over per-partition edge counts — the kernel's
       * realized skew (reference Matrix::balance, matrix.hpp:562-687).
@@ -289,7 +326,10 @@ object SpmvKernel {
         edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)").queryExecution.toRdd
           .map(ir => (ir.getLong(0), (ir.getLong(1), 1.0))))
         .partitionBy(hp)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // SER: boxed edge tuples held deserialized would cost ~64 B/edge
+        // (29 GB at 460M edges); the serialized form is ~4× smaller and
+        // is read only three times (vertices, degrees, tile build)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
     // distinct vertex universe, partitioned like the edges' sources
     val verts: RDD[(Long, Null)] = eRdd
@@ -319,12 +359,15 @@ object SpmvKernel {
     val kernel: RDD[KernelPartition] = compiled.zipPartitions(meta,
       preservesPartitioning = false) { (cIt, mIt) =>
       val (kp, _) = cIt.next()
+      val vidSlot = new LongIntMap(kp.vids.length)
+      var vi = 0
+      while (vi < kp.vids.length) { vidSlot.put(kp.vids(vi), vi); vi += 1 }
       val inSlots = new Array[Array[Int]](parts)
       mIt.foreach { case (_, (p, dstVids)) =>
         val arr = new Array[Int](dstVids.length)
         var i = 0
         while (i < dstVids.length) {
-          arr(i) = java.util.Arrays.binarySearch(kp.vids, dstVids(i))
+          arr(i) = vidSlot.get(dstVids(i))
           i += 1
         }
         inSlots(p) = arr
@@ -347,10 +390,12 @@ object SpmvKernel {
       weighted: Boolean): (KernelPartition, Array[Array[Long]]) = {
     val vids = vIt.map(_._1).toArray
     java.util.Arrays.sort(vids)
+    val vidSlot = new LongIntMap(vids.length)
+    var vi = 0
+    while (vi < vids.length) { vidSlot.put(vids(vi), vi); vi += 1 }
     val invDeg = new Array[Double](vids.length)
     dIt.foreach { case (v, d) =>
-      val s = java.util.Arrays.binarySearch(vids, v)
-      if (s >= 0 && d > 0) invDeg(s) = 1.0 / d
+      if (d > 0) invDeg(vidSlot.get(v)) = 1.0 / d
     }
 
     // bucket edges by destination partition
@@ -371,8 +416,15 @@ object SpmvKernel {
       val ww = if (bufW != null) bufW(q).result() else null
       if (ss.nonEmpty) {
         val n = ss.length
-        // deterministic tile layout: edges sorted by (src, dst)
-        val order = Array.range(0, n).sortBy(i => (ss(i), dd(i)))
+        // deterministic tile layout: edges in ascending SOURCE-SLOT
+        // order (slot fits an Int, so (slot<<32 | idx) sorts as one
+        // primitive long — no boxed comparator). Per-destination sums
+        // are then added in ascending-source order every compile; dst
+        // order within a source row is irrelevant to the sums.
+        val order = new Array[Long](n)
+        var oi = 0
+        while (oi < n) { order(oi) = (vidSlot.get(ss(oi)).toLong << 32) | oi; oi += 1 }
+        java.util.Arrays.sort(order)
         // sorted distinct destination list → tile-local ids
         val distinct = dd.clone()
         java.util.Arrays.sort(distinct)
@@ -382,22 +434,25 @@ object SpmvKernel {
           i += 1
         }
         val tileDsts = java.util.Arrays.copyOf(distinct, u + 1)
+        val dstIdx = new LongIntMap(tileDsts.length)
+        var di = 0
+        while (di < tileDsts.length) { dstIdx.put(tileDsts(di), di); di += 1 }
 
         val srcSlotsB = new scala.collection.mutable.ArrayBuilder.ofInt
         val offsetsB = new scala.collection.mutable.ArrayBuilder.ofInt
         val dstLocal = new Array[Int](n)
         val wOut = if (ww != null) new Array[Double](n) else null
-        var lastSrc = Long.MinValue
+        var lastSlot = -1
         var k = 0
         while (k < n) {
-          val e = order(k)
-          val s = ss(e)
-          if (s != lastSrc) {
-            srcSlotsB += java.util.Arrays.binarySearch(vids, s)
+          val slot = (order(k) >>> 32).toInt
+          val e = order(k).toInt
+          if (slot != lastSlot) {
+            srcSlotsB += slot
             offsetsB += k
-            lastSrc = s
+            lastSlot = slot
           }
-          dstLocal(k) = java.util.Arrays.binarySearch(tileDsts, dd(e))
+          dstLocal(k) = dstIdx.get(dd(e))
           if (wOut != null) wOut(k) = ww(e)
           k += 1
         }

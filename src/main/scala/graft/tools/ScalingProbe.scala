@@ -59,6 +59,12 @@ object ScalingProbe {
       // >200 partitions where the sort writer is the default anyway.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         tuned("spark.shuffle.sort.bypassMergeThreshold", "1"))
+      // long superstep loops produce one ~E-sized shuffle per
+      // iteration; ContextCleaner only reaps the files after a driver
+      // GC notices the dropped references (default periodic GC 30min —
+      // iter walls were measured drifting up as /tmp filled)
+      .config("spark.cleaner.periodicGC.interval",
+        tuned("spark.cleaner.periodicGC.interval", "45s"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,7 +92,8 @@ object ScalingProbe {
       if (kernelMode) {
         val g = graft.graph.SpmvKernel.compile(edges, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] mode=kernel cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        println(f"[probe] mode=kernel cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f " +
+          f"exchangeMBPerIter=${g.exchangeDoubles * 8.0 / 1e6}%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.pagerank(maxIters = iters))
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
         ("kernel", g.numVertices, g.numEdges, r.iterations,
