@@ -43,17 +43,34 @@ object Bench {
     s
   }
 
-  /** Synthesize corpus → extract edges → park as parquet (one time per
-    * size; every measured run then reads identical bytes). */
-  private def prepareEdges(cpus: Int, nRepos: Long, path: String): Unit = {
-    val spark = session(cpus)
+  /** Synthesize corpus → extract edges → park as parquet, CACHED by
+    * repo count under /tmp/graftbench_cache (the corpus is a pure
+    * function of nRepos, seed fixed): repeat bench runs in a round
+    * reuse the table instead of re-generating ~10 minutes of corpus.
+    * The gen session keeps Spark's DEFAULT shuffle compression — the
+    * corpus extraction shuffles ~100 GB of file content at 64M repos,
+    * and the loop-tuned compression-off session tripled the /tmp
+    * spill footprint (measured ENOSPC at 64M repos). */
+  private def prepareEdges(cpus: Int, nRepos: Long): String = {
+    val cached = Paths.get(s"/tmp/graftbench_cache/e${nRepos}repos.parquet")
+    if (Files.exists(cached.resolve("_SUCCESS"))) return cached.toString
+    Files.createDirectories(cached.getParent)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-gen-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
     try {
       import graft.ingest._
       val corpus = RepoCorpus.generate(spark,
         RepoCorpus.Config(nRepos = nRepos, filesPerRepo = 4))
       val (edges, _) = EdgeExtraction.ingest(EdgeExtraction.withSha(corpus))
-      edges.write.mode("overwrite").parquet(path)
+      edges.write.mode("overwrite").parquet(cached.toString)
     } finally spark.stop()
+    cached.toString
   }
 
   /** JDK17 --add-opens set Spark needs (same list as run_main.sh). */
@@ -112,7 +129,7 @@ object Bench {
   private def prSampleForked(cpus: Int, edgePath: String,
                              iters: Int, kernel: Boolean): Sample = {
     settle()
-    val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "32g")
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "48g")
     val java = sys.props("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq(
       s"-Xmx$xmx", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -196,13 +213,9 @@ object Bench {
     val baseRepos = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPOS", "64000000").toLong
     val quarterRepos = math.max(1L, baseRepos / 4)
     val convRepos = math.min(baseRepos, 1000000L)
-    val work = Files.createTempDirectory("graft-bench").toString
-    val pMain = s"$work/edges_main.parquet"
-    val pQuarter = s"$work/edges_quarter.parquet"
-    val pConv = s"$work/edges_conv.parquet"
-    prepareEdges(hi, baseRepos, pMain)
-    prepareEdges(hi, quarterRepos, pQuarter)
-    prepareEdges(hi, convRepos, pConv)
+    val pMain = prepareEdges(hi, baseRepos)
+    val pQuarter = prepareEdges(hi, quarterRepos)
+    val pConv = prepareEdges(hi, convRepos)
 
     // kernel samples are compile-dominated (a 460M-edge compile is
     // minutes), so the default is one sample per config; raise
