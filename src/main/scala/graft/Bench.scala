@@ -215,6 +215,7 @@ object Bench {
     val convRepos = math.min(baseRepos, 1000000L)
     val pMain = prepareEdges(hi, baseRepos)
     val pQuarter = prepareEdges(hi, quarterRepos)
+    val pSixteenth = prepareEdges(hi, math.max(1L, baseRepos / 16))
     val pConv = prepareEdges(hi, convRepos)
 
     // kernel samples are compile-dominated (a 460M-edge compile is
@@ -240,6 +241,12 @@ object Bench {
     val strongEff = sHi.tput / (sLo.tput * (hi.toDouble / lo))
     val strongEffUnsat = sXloQ.map(s => sLoQ.tput / (s.tput * (lo.toDouble / xlo)))
     val strongEff14 = for (s1 <- s1Q; s4 <- s4Q) yield s4.tput / (s1.tput * 4.0)
+    // weak at the UNSATURATED end: 1 core on E/16 → 4 cores on E/4 —
+    // the only single-box weak pair where neither endpoint is
+    // bandwidth-capped (4× data through the same bus otherwise floors
+    // weak efficiency at 0.25 regardless of the engine)
+    val s1S = if (xlo > 1) Some(prSampleBest(1, pSixteenth, iters, samples)) else None
+    val weakEffUnsat = for (s1 <- s1S; s4 <- s4Q) yield s4.tput / (s1.tput * 4.0)
     // weak: throughput should grow with resources when data grows too;
     // eff = tput(4N on 4E) / (4 · tput(N on E)) ≈ t(N,E) / t(4N,4E)
     val weakEff = sHi.tput / (sLoQ.tput * (hi.toDouble / lo))
@@ -284,8 +291,7 @@ object Bench {
          |  bound, and 4× data through the SAME shared bus costs ≥4×
          |  time, so local weak efficiency is bus-capped at ~0.25 by
          |  physics; report it against that floor, not 1.0
-         |  — the cluster-growth regime: data and executors scale
-         |  together, per-executor working set constant
+         |${(for (s1 <- s1S; e <- weakEffUnsat) yield f"- KERNEL WEAK efficiency at the unsaturated pair (1 core on E/16\n  [${s1.edges} edges, ${s1.medianIterSec}%.3f s/iter] → 4 cores on E/4) = $e%.3f —\n  cores and data ×4 with neither endpoint bus-capped: the\n  cluster-growth regime this box can actually represent\n").getOrElse("")}
          |- ENGINE STRONG efficiency ($lo→$hi on E/4) = ${f"$engineStrongEff%.3f"}
          |- kernel vs engine at N=$lo on E/4: ${f"${sLoQ.tput / eLoQ.tput}%.1f"}× throughput;
          |  per-superstep barrier ${eLoQ.medBarrierMs} ms → ${sLoQ.medBarrierMs} ms
@@ -320,6 +326,7 @@ object Bench {
         strongEff14.map(e => s""""strong_eff_1_4":${f"$e%.3f"},""").getOrElse("") +
         s1Q.map(s => s""""tput_1_quarter":${f"${s.tput}%.0f"},""").getOrElse("") +
         s4Q.map(s => s""""tput_4_quarter":${f"${s.tput}%.0f"},""").getOrElse("") +
+        weakEffUnsat.map(e => s""""weak_eff_unsat":${f"$e%.3f"},""").getOrElse("") +
         s""""engine_strong_eff":${f"$engineStrongEff%.3f"},""" +
         s""""engine_tput_lo_quarter":${f"${eLoQ.tput}%.0f"},"engine_tput_hi_quarter":${f"${eHiQ.tput}%.0f"},""" +
         s""""med_barrier_ms_hi":${sHi.medBarrierMs},"engine_med_barrier_ms_hi":${eHiQ.medBarrierMs},""" +

@@ -154,21 +154,54 @@ object SpmvKernel {
       if (mean == 0) 0.0 else counts.max / mean - 1.0
     }
 
+    /** Re-slot a saved (vid, rank) frame into the kernel's partition
+      * layout — the resume half of the checkpoint contract. */
+    private def stateFromDF(df: DataFrame): RDD[Array[Double]] = {
+      val hp = new HashPartitioner(parts)
+      val keyed = df.select("vid", "rank").queryExecution.toRdd
+        .map(ir => (ir.getLong(0), ir.getDouble(1)))
+        .partitionBy(hp)
+      kernel.zipPartitions(keyed, preservesPartitioning = false) { (kIt, rIt) =>
+        val kp = kIt.next()
+        val slot = new LongIntMap(kp.vids.length)
+        var i = 0
+        while (i < kp.vids.length) { slot.put(kp.vids(i), i); i += 1 }
+        val arr = new Array[Double](kp.vids.length)
+        rIt.foreach { case (v, r) => arr(slot.get(v)) = r }
+        Iterator.single(arr)
+      }
+    }
+
+    private def stateDF(state: RDD[Array[Double]]): DataFrame = {
+      val sp = spark
+      import sp.implicits._
+      kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
+        val kp = kIt.next(); val ranks = sIt.next()
+        Iterator.range(0, kp.vids.length).map(i => (kp.vids(i), ranks(i)))
+      }.toDF("vid", "rank")
+    }
+
     /** Reference-exact PageRank (src/apps/pr.h: rank₀=α; msg=rank/deg,
       * 0 when deg 0; y=Σ msg·w; rank←α+(1−α)y; changed iff |Δ|>tol;
       * Always source semantics). `maxIters>0` = fixed budget (the
       * convergence check is disabled, vp:412-413); 0 = run until no
-      * vertex moves more than `tol`. */
+      * vertex moves more than `tol`. `ckpt` gives the fast path the
+      * same durable resume contract as the Engine loop: resume from
+      * the latest snapshot (ranks re-slotted into the tile layout),
+      * save every `ckpt.every` supersteps plus a final snapshot. */
     def pagerank(maxIters: Int, alpha: Double = 0.15, tol: Double = 1e-5,
-                 lineageTruncateEvery: Int = 20): KernelResult = {
+                 lineageTruncateEvery: Int = 20,
+                 ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult = {
       val P = parts
       val metrics = ArrayBuffer.empty[IterMetrics]
-      var state: RDD[Array[Double]] = kernel
-        .map(kp => Array.fill(kp.vids.length)(alpha))
+      val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+      var state: RDD[Array[Double]] = resumed
+        .map { case (_, df) => stateFromDF(df) }
+        .getOrElse(kernel.map(kp => Array.fill(kp.vids.length)(alpha)))
         .persist(StorageLevel.MEMORY_AND_DISK)
       state.count()
       var prev: RDD[Array[Double]] = null
-      var iter = 0
+      var iter = resumed.map(_._1).getOrElse(0)
       var active = numVertices
 
       def keepGoing: Boolean =
@@ -280,8 +313,12 @@ object SpmvKernel {
         state = newState
         iter += 1
         metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, numVertices)
+        ckpt.foreach { c =>
+          if (c.shouldCheckpoint(iter)) c.save("pagerank-kernel", iter, stateDF(state), metrics.toSeq)
+        }
       }
       sc.clearJobGroup()
+      ckpt.foreach(c => c.save("pagerank-kernel", iter, stateDF(state), metrics.toSeq))
 
       val ranksRdd = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
         val kp = kIt.next(); val ranks = sIt.next()

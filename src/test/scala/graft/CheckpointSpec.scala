@@ -68,6 +68,24 @@ class CheckpointSpec extends SparkTestBase {
     assert(resumed == straight, "LPA resume diverged from the uninterrupted run")
   }
 
+  test("SpmvKernel resumes from a snapshot bit-identically to the straight run") {
+    val es = randomEdges(150, 900, seed = 63)
+    val g = SpmvKernel.compile(edgesDF(es), parts)
+    def ranksOf(r: SpmvKernel.KernelResult): Map[Long, Double] =
+      r.state.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+
+    val straight = ranksOf(g.pagerank(maxIters = 12))
+
+    val dir = Files.createTempDirectory("graft-ckpt-kernel").toString
+    val mgr = new CheckpointManager(dir, every = 6)
+    g.pagerank(maxIters = 6, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(6))
+    val resumed = ranksOf(g.pagerank(maxIters = 12, ckpt = Some(mgr)))
+    g.unpersist()
+    // deterministic tiles + sorted fold order → resume must be EXACT
+    assert(resumed == straight, "kernel resume diverged from the uninterrupted run")
+  }
+
   test("exact-state algorithms resume bit-identically (CC)") {
     val es = randomEdges(200, 400, seed = 57)
     val straight = ConnectedComponents.run(edgesDF(es), parts)
