@@ -32,17 +32,28 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Word k-shingles of lowercased text as a distinct array column. */
+  /** Word k-shingles of lowercased text as a distinct array column.
+    *
+    * The tokenization is BOUND ONCE through a single-element-array
+    * lambda (`transform(array(tokens), ts -> …)`): higher-order
+    * lambdas are interpreted and re-evaluate captured expression trees
+    * per element, so referencing `split(lower(text))` directly inside
+    * the window lambda re-tokenized the whole document once per
+    * shingle — measured 5× the entire MinHash pipeline at sf0.1. A
+    * bound lambda variable is a materialized value. Result semantics
+    * are identical (same tokens, same windows, same distinct order). */
   def shingles(text: Column, k: Int = 3): Column = {
     val tokens = split(lower(text), "\\W+")
-    // sliding windows via transform over an index sequence; join with ' '
-    array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(tokens) - k, lit(0))),
-          i => when(size(tokens) >= k,
-            concat_ws(" ", slice(tokens, i + 1, lit(k)))).otherwise(null)),
-        x => x.isNotNull))
+    element_at(
+      transform(array(tokens), ts =>
+        array_distinct(
+          filter(
+            transform(
+              sequence(lit(0), greatest(size(ts) - k, lit(0))),
+              i => when(size(ts) >= k,
+                concat_ws(" ", slice(ts, i + 1, lit(k)))).otherwise(null)),
+            x => x.isNotNull))),
+      1)
   }
 
   // --------------------------------------------------------------- minhash

@@ -138,11 +138,18 @@ object TextAnalysis {
                        textCol: String = "text", k: Int = 5,
                        bands: Int = 8): DataFrame = {
     import graft.functions.StableHash
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
-    val gramStrings = when(size(toks) >= k,
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
+    // tokens BOUND ONCE via a one-element-array lambda: a `toks`
+    // expression captured directly inside the window transform would
+    // re-tokenize the document once per gram (interpreted HOF lambdas
+    // re-evaluate captured subtrees per element — see Dedup.shingles)
+    val toks0 = filter(split(lower(col(textCol)), "\\W+"), t => length(t) > 0)
+    val gramStrings = element_at(
+      transform(array(toks0), toks =>
+        when(size(toks) >= k,
+          transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", toks)))),
+      1)
     docs
       .select(col(idCol), explode(gramStrings).as("gram"))
       .select(col(idCol), StableHash.h60(col("gram")).as("h"))
