@@ -107,10 +107,28 @@ object Bench {
   /** Best of k forked samples (min median-iter-sec wins): the host VM
     * shows up-to-6× jitter windows between identical runs, so a single
     * sample per config is a lottery; min-of-k is the standard
-    * shared-machine de-noiser. */
+    * shared-machine de-noiser. A fork that dies (host-side OOM kill,
+    * transient JVM failure — observed once across ~40 forks) is
+    * retried once rather than aborting the whole bench; only a config
+    * with ZERO surviving samples propagates the failure. */
   private def prSampleBest(cpus: Int, edgePath: String, iters: Int,
-                           k: Int, kernel: Boolean = true): Sample =
-    (1 to k).map { _ => prSampleForked(cpus, edgePath, iters, kernel) }.minBy(_.medianIterSec)
+                           k: Int, kernel: Boolean = true): Sample = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var lastErr: Throwable = null
+    var tries = 0
+    while (results.size < k && tries < k + 1) {
+      tries += 1
+      try results += prSampleForked(cpus, edgePath, iters, kernel)
+      catch {
+        case e: Throwable =>
+          lastErr = e
+          System.err.println(s"[bench] probe attempt $tries at $cpus cores failed: " +
+            e.getMessage.linesIterator.nextOption().getOrElse(""))
+      }
+    }
+    if (results.isEmpty) throw lastErr
+    results.minBy(_.medianIterSec)
+  }
 
   /** Wait for the box to settle (dead-JVM page reclaim, co-tenant
     * spikes) before a timing sample — up to 3 minutes. */

@@ -96,11 +96,16 @@ object TextAnalysis {
     * the expensive projection; keep it in its own column/Project). */
   def gramHashes(text: Column, k: Int = 5): Column = {
     import graft.functions.StableHash
-    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => StableHash.h60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array(StableHash.h60(concat_ws(" ", toks))))
+    // tokens bound once (captured subtrees re-evaluate per element in
+    // interpreted HOF lambdas — see Dedup.shingles)
+    val toks0 = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    element_at(
+      transform(array(toks0), toks =>
+        when(size(toks) >= k,
+          transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+            i => StableHash.h60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .otherwise(array(StableHash.h60(concat_ws(" ", toks))))),
+      1)
   }
 
   /** Band mins over an already-hashed gram array column. */
