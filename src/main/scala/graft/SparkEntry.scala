@@ -119,6 +119,54 @@ object SparkEntry {
       r.state.select(col("vid"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("vid")).limit(25)
     }),
+    "q_cc_kernel" -> ((s, d) => {
+      // connected components on the compiled kernel's frontier
+      // (SpMSpV) mode — same shaping and the same recursive-CTE oracle
+      // as the Catalyst path (q_cc_sizes): both engines proven
+      // hash-identical
+      val e = edges(s, d)
+      val und = GraphShaping.shape(e,
+        EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
+      val g = graph.SpmvKernel.compile(und, graphParts(s, e))
+      val r = g.run(new CcKernelProgram, maxIters = 0)
+      g.unpersist()
+      r.state.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("size")).orderBy(asc("label"))
+    }),
+    "q_bfs_kernel" -> ((s, d) => {
+      // BFS on the kernel frontier mode (iter-dependent apply: hops =
+      // iter+1 at discovery) vs the same shortest-hop oracle as
+      // q_bfs_depths
+      val e = edges(s, d)
+      val und = GraphShaping.shape(e,
+        EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+        .select("src", "dst")
+      val g = graph.SpmvKernel.compile(und, graphParts(s, e))
+      val r = g.run(new BfsKernelProgram(0L), maxIters = 0)
+      g.unpersist()
+      r.state.groupBy(col("hops").cast("long").as("hops"))
+        .agg(count(lit(1)).as("n")).orderBy(asc("hops"))
+    }),
+    "q_sssp_kernel" -> ((s, d) => {
+      // unweighted SSSP (relax = dist+1) on the kernel frontier mode
+      // vs the same recursive-reachability oracle as q_sssp
+      val e = edges(s, d)
+      val g = graph.SpmvKernel.compile(e, graphParts(s, e))
+      val r = g.run(new SsspKernelProgram(0L), maxIters = 0)
+      g.unpersist()
+      r.state.filter(col("dist").isNotNull)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
+    }),
+    "q_degree_kernel" -> ((s, d) => {
+      // the kernel's degree mode: ONE superstep with messenger ≡ 1 and
+      // sum combine (reference Deg_Program, deg.h:32-52) — checked
+      // against the same SQL as the relational q_degree_in
+      val e = edges(s, d)
+      val g = graph.SpmvKernel.compile(e, graphParts(s, e))
+      val r = g.inDegrees
+      g.unpersist()
+      r
+    }),
     "q_cc_sizes" -> ((s, d) =>
       { val e = edges(s, d); ConnectedComponents.sizes(ConnectedComponents.run(e, graphParts(s, e)).state) }
         .orderBy(asc("label"))),
@@ -621,6 +669,13 @@ object SparkEntry {
     "q_quality" -> qualitySql,
     "q_lang_id" -> langIdSql,
     "q_cc_sizes" -> ccSizesSql,
+    // kernel-path runs of the same algorithms check against the SAME
+    // oracles — one oracle, two proven-identical execution engines
+    "q_cc_kernel" -> ccSizesSql,
+    "q_bfs_kernel" -> bfsDepthsSql,
+    "q_sssp_kernel" -> ssspSql,
+    "q_degree_kernel" ->
+      s"WITH e AS ($edgesSql) SELECT dst AS vid, COUNT(*) AS degree FROM e GROUP BY dst",
     "q_bfs_depths" -> bfsDepthsSql,
     "q_sssp" -> ssspSql,
     "q_lpa" -> lpaSql(5),

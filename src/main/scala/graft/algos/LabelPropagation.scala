@@ -85,6 +85,9 @@ object LabelPropagation {
       val observed = applied.observe(metricName,
         sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
       val newState = observed.localCheckpoint(true)
+      // same job-group hygiene as Engine: fallback count + ckpt jobs
+      // must not be attributed to the superstep by the PhaseListener
+      spark.sparkContext.clearJobGroup()
       active = observed.queryExecution.observedMetrics.get(metricName) match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
         case _ => newState.filter(col("changed")).count() // fallback

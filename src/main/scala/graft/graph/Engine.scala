@@ -173,6 +173,11 @@ object Engine {
         System.err.println(s"[engine-plan] superstep $iter:\n" +
           observed.queryExecution.executedPlan)
       val newState = observed.localCheckpoint(true)
+      // the superstep's one job has run — drop the job group NOW so
+      // follow-up jobs (observe-miss fallback count, checkpoint save)
+      // don't masquerade as extra superstep phases and shift the
+      // PhaseListener's per-iteration pairing
+      spark.sparkContext.clearJobGroup()
       active = observed.queryExecution.observedMetrics.get(metricName) match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
         case other =>

@@ -2,13 +2,26 @@ package graft.graph
 
 import org.apache.spark.{HashPartitioner, Partitioner, TaskContext}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable.ArrayBuffer
 import graft.ckpt.IterMetrics
 
-/** Tile-compiled SpMV fast path for the STATIONARY superstep loop —
-  * the "drive the loop below Catalyst" half of the engine.
+/** Tile-compiled kernel fast path for the superstep loop — the "drive
+  * the loop below Catalyst" half of the engine, generalized to the
+  * full [[KernelProgram]] (5-virtuals) contract with BOTH execution
+  * modes of the reference's app family:
+  *
+  *  - STATIONARY SpMV (PR, Degree): every source row of every tile
+  *    contributes every superstep (reference csc_spmv.hpp;
+  *    vp:688-861);
+  *  - NONSTATIONARY SpMSpV (CC, BFS, SSSP): only rows whose vertex
+  *    changed last superstep contribute — the frontier rides a
+  *    per-partition BITSET over state slots (the reference's activity
+  *    bits XI/XV, vp:711-784; single-node tcsc_spmspv2.hpp:81-531),
+  *    and each tile ships its accumulator SPARSE ([idx…][val…]) when
+  *    that is smaller than the dense double array.
   *
   * The DataFrame Engine (graph/Engine.scala) re-analyzes, re-plans and
   * re-launches a Catalyst job every superstep; the plan is IDENTICAL
@@ -29,31 +42,42 @@ import graft.ckpt.IterMetrics
   *    indices int, all static, built once, cached.
   *  - each superstep is ONE two-stage RDD job:
   *      stage 1 (scatter_gather+combine, vp:688-861): per tile, a
-  *        tight primitive-array loop accumulates rank·invdeg[·w] into a
-  *        DENSE per-tile accumulator (cache-resident — no hash probes,
-  *        no explode iterators, no codegen'd row pipelines), then ships
-  *        the packed double array to q; the shuffle carries ONLY
-  *        doubles (the dst ids were exchanged once at compile time —
-  *        the analog of the reference's static communicator layout).
-  *      stage 2 (combine-final + apply, vp:1058-1113, 1641-1802):
-  *        partition q folds incoming tile accumulators — in SORTED
-  *        source-partition order, so the float sum is deterministic
-  *        run-to-run — into its V/P-sized y vector and applies
-  *        rank' = α + (1−α)·y in place.
+  *        tight primitive-array loop over the (active) source rows
+  *        accumulates program.edgeCombine values into a DENSE per-tile
+  *        accumulator — or, below 1/4 frontier-edge density, assembles
+  *        the contributions sparsely without touching an nDsts-sized
+  *        array at all. The tile result ships as a PACKED byte array;
+  *        the shuffle carries ONLY doubles (+ ints when sparse) — the
+  *        dst ids were exchanged once at compile time, the analog of
+  *        the reference's static communicator layout.
+  *      stage 2 (combine-final + apply, vp:1058-1113, 1641-1802): the
+  *        exchange is a `repartitionAndSortWithinPartitions` keyed by
+  *        (q, p), so partition q STREAMS its incoming tiles in sorted
+  *        source-partition order — deterministic float sums with a
+  *        real spill path (the shuffle reader's ExternalSorter),
+  *        instead of buffering every tile on-heap — folds them into
+  *        its V/P-sized y vector, and runs program.apply in place.
   *    No Catalyst, no per-iteration planning; driver overhead per
   *    superstep is one job submission (~10 ms class).
+  *  - the per-superstep changed/frontier count is returned THROUGH the
+  *    job (`sc.runJob` reading each partition's counter from the
+  *    materialized state) — exactly-once under task retry, matching
+  *    the Engine's `observe()` exactness, where the previous
+  *    accumulator could over-count a retried stage.
   *
-  * Scale shape at 100 TB: the per-superstep exchange is Σ_pq
-  * |distinct dsts of tile (p,q)| doubles ≤ min(E, P·V) — the same
-  * V-bounded exchange as the DataFrame path, but packed; per-tile
-  * accumulators are V/P-sized, so executor memory per task stays flat
-  * as P grows with the cluster. Known trade-off vs the salted
-  * DataFrame path: edges partition by hash(src), so a pathological
-  * hub vertex concentrates its out-edges in one partition (the
-  * DataFrame engine salts those rows; the reference's 2D grid has the
-  * matching limitation per rank row). `edgeImbalance` reports the
-  * realized skew; the DataFrame engine remains the general path
-  * (frontier algorithms, checkpoint/resume, arbitrary programs).
+  * Scale shape at 100 TB: the per-superstep exchange is bounded by
+  * Σ_pq |distinct dsts of tile (p,q)| doubles ≤ min(E, P·V) — the same
+  * V-bounded exchange as the DataFrame path, but packed, and on a
+  * shrinking frontier it degrades further to O(frontier-edges);
+  * per-tile accumulators are V/P-sized (or frontier-sized), so
+  * executor memory per task stays flat as P grows with the cluster.
+  * Known trade-off vs the salted DataFrame path: edges partition by
+  * hash(src), so a pathological hub vertex concentrates its out-edges
+  * in one partition (the DataFrame engine salts those rows; the
+  * reference's 2D grid has the matching limitation per rank row).
+  * `edgeImbalance` reports the realized skew; the DataFrame engine
+  * remains the general path (arbitrary Column-expression programs,
+  * frequency-LPA's non-monoid combiner).
   */
 object SpmvKernel {
 
@@ -77,11 +101,19 @@ object SpmvKernel {
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       keys(i) = k; vals(i) = v; used(i) = true
     }
-    /** Caller guarantees the key exists. */
+    /** Probing stops at the first never-used slot (no deletes exist),
+      * so an absent key FAILS FAST instead of spinning — reachable
+      * from user input via checkpoint resume (stateFromDF): a snapshot
+      * from a different graph carries vids this compile never slotted. */
     def get(k: Long): Int = {
       var i = idx(k)
-      while (keys(i) != k || !used(i)) i = (i + 1) & mask
-      vals(i)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      throw new IllegalArgumentException(
+        s"vid $k is not present in the compiled graph " +
+          "(resuming from a checkpoint of a different edge table?)")
     }
   }
 
@@ -90,6 +122,18 @@ object SpmvKernel {
     def getPartition(key: Any): Int = key.asInstanceOf[Int]
     override def equals(o: Any): Boolean = o match {
       case p: IdPartitioner => p.numPartitions == numPartitions
+      case _ => false
+    }
+    override def hashCode: Int = numPartitions
+  }
+
+  /** Routes ((q, p), bytes) tile messages to partition q; the p half
+    * of the key drives the reduce-side sort that makes the fold order
+    * deterministic. */
+  private final class TileKeyPartitioner(val numPartitions: Int) extends Partitioner {
+    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Int)]._1
+    override def equals(o: Any): Boolean = o match {
+      case p: TileKeyPartitioner => p.numPartitions == numPartitions
       case _ => false
     }
     override def hashCode: Int = numPartitions
@@ -110,20 +154,86 @@ object SpmvKernel {
   }
 
   /** Partition p's compiled state: owned (sorted) vertex ids = state
-    * slots, per-slot 1/outdeg, the P outgoing tiles, and — after the
-    * one-time compile-phase exchange — for every source partition the
-    * mapping from its tile-local destination index to a slot here. */
+    * slots, per-slot out-degree and 1/outdeg, the P outgoing tiles,
+    * and — after the one-time compile-phase exchange — for every
+    * source partition the mapping from its tile-local destination
+    * index to a slot here. */
   private[graph] final case class KernelPartition(
       vids: Array[Long],
+      deg: Array[Long],
       invDeg: Array[Double],
       tiles: Array[Tile],
       inSlots: Array[Array[Int]]) // by source partition; null when no tile
 
+  /** One partition's per-superstep state: `width` doubles per slot
+    * (row-major), the active/changed BITSET (the frontier for
+    * nonstationary programs — reference activity bits XI/XV,
+    * vp:711-784), and the partition's changed count, read back
+    * driver-side through `sc.runJob` for an exactly-once convergence
+    * count. */
+  private[graph] final case class PartState(
+      values: Array[Double],
+      active: Array[Long],
+      changed: Long)
+
+  private def bitGet(bits: Array[Long], i: Int): Boolean =
+    (bits(i >>> 6) & (1L << (i & 63))) != 0
+
   final case class KernelResult(state: DataFrame, iterations: Int,
                                 metrics: Seq[IterMetrics], checksum: Double)
 
-  /** Compiled graph handle: run `pagerank` any number of times; call
-    * `unpersist()` when done with the graph. */
+  // pack formats for the per-tile accumulator exchange
+  private final val FmtDense = 0
+  private final val FmtSparse = 1
+
+  /** Per-row edge-combine into a dense accumulator — the specialized
+    * inner loops (one per combiner × edge-op × weightedness) the
+    * reference gets from template instantiation. One call per source
+    * ROW; the loops themselves are monomorphic primitive code. */
+  private def accumRow(acc: Array[Double], dstLocal: Array[Int],
+                       w: Array[Double], from: Int, until: Int,
+                       msg: Double, sum: Boolean, eop: Int): Unit = {
+    var e = from
+    if (sum) {
+      if (eop == 2) { // AddW
+        if (w == null) while (e < until) { acc(dstLocal(e)) += msg + 1.0; e += 1 }
+        else while (e < until) { acc(dstLocal(e)) += msg + w(e); e += 1 }
+      } else if (eop == 1 && w != null) { // MulW weighted
+        while (e < until) { acc(dstLocal(e)) += msg * w(e); e += 1 }
+      } else { // MsgOnly, or MulW with w ≡ 1
+        while (e < until) { acc(dstLocal(e)) += msg; e += 1 }
+      }
+    } else { // min
+      if (eop == 2) {
+        if (w == null) while (e < until) {
+          val d = dstLocal(e); val v = msg + 1.0
+          if (v < acc(d)) acc(d) = v
+          e += 1
+        }
+        else while (e < until) {
+          val d = dstLocal(e); val v = msg + w(e)
+          if (v < acc(d)) acc(d) = v
+          e += 1
+        }
+      } else if (eop == 1 && w != null) {
+        while (e < until) {
+          val d = dstLocal(e); val v = msg * w(e)
+          if (v < acc(d)) acc(d) = v
+          e += 1
+        }
+      } else {
+        while (e < until) {
+          val d = dstLocal(e)
+          if (msg < acc(d)) acc(d) = msg
+          e += 1
+        }
+      }
+    }
+  }
+
+  /** Compiled graph handle: `run` any [[KernelProgram]] (or the
+    * `pagerank` convenience) any number of times; call `unpersist()`
+    * when done with the graph. */
   final class CompiledGraph private[SpmvKernel] (
       private[graph] val kernel: RDD[KernelPartition],
       val spark: SparkSession,
@@ -133,12 +243,12 @@ object SpmvKernel {
       val weighted: Boolean) {
 
     private val sc = spark.sparkContext
-    private val idPart = new IdPartitioner(parts)
+    private val tilePart = new TileKeyPartitioner(parts)
 
-    /** Exact per-superstep exchange volume in DOUBLES: Σ over tiles of
-      * |distinct destinations| — every superstep ships exactly one
-      * double per tile-destination. Bounded by min(E, P·V); grows with
-      * P toward E as per-tile destination dedup thins out (the
+    /** Exact per-superstep DENSE exchange volume in DOUBLES: Σ over
+      * tiles of |distinct destinations| — the stationary upper bound
+      * (a sparse frontier ships less). Bounded by min(E, P·V); grows
+      * with P toward E as per-tile destination dedup thins out (the
       * all-to-all volume physics a cluster pays in network). */
     def exchangeDoubles: Long = kernel
       .map(kp => kp.tiles.map(t => if (t == null) 0L else t.nDsts.toLong).sum)
@@ -154,149 +264,295 @@ object SpmvKernel {
       if (mean == 0) 0.0 else counts.max / mean - 1.0
     }
 
-    /** Re-slot a saved (vid, rank) frame into the kernel's partition
-      * layout — the resume half of the checkpoint contract. */
-    private def stateFromDF(df: DataFrame): RDD[Array[Double]] = {
+    /** Out-degree per vertex straight off the compiled matrix — no
+      * superstep, no shuffle: every partition owns its source rows
+      * (the reference reuses its compiled matrix for the degree phase
+      * the same way, pr.cpp:40-49). Vertices with no out-edges are
+      * absent, matching algos.Degree.out. */
+    def outDegrees: DataFrame = {
+      val sp = spark
+      import sp.implicits._
+      kernel.mapPartitions { kIt =>
+        val kp = kIt.next()
+        Iterator.range(0, kp.vids.length)
+          .filter(i => kp.deg(i) > 0)
+          .map(i => (kp.vids(i), kp.deg(i)))
+      }.toDF("vid", "degree")
+    }
+
+    /** In-degree via ONE kernel superstep (messenger ≡ 1, sum — the
+      * reference Deg_Program, deg.h:32-52) — the degree mode of the
+      * compiled path. Matches algos.Degree.in. */
+    def inDegrees: DataFrame = {
+      import org.apache.spark.sql.functions._
+      val r = run(new DegreeKernelProgram, maxIters = 1)
+      r.state.filter(col("degree") > 0)
+        .select(col("vid"), col("degree").cast("long").as("degree"))
+    }
+
+    /** Re-slot a saved state frame into the kernel's partition layout —
+      * the resume half of the checkpoint contract. Nulls become NaN;
+      * a missing `changed` column means all-active (only legacy
+      * pagerank snapshots, a stationary program, lack it). */
+    private def stateFromDF(program: KernelProgram, df: DataFrame): RDD[PartState] = {
       val hp = new HashPartitioner(parts)
-      val keyed = df.select("vid", "rank").queryExecution.toRdd
-        .map(ir => (ir.getLong(0), ir.getDouble(1)))
+      val width = program.width
+      val cols = "vid" +: program.columns
+      val hasChanged = df.columns.contains("changed")
+      val sel = if (hasChanged) cols :+ "changed" else cols
+      val keyed = df.selectExpr(sel: _*).queryExecution.toRdd
+        .map { ir =>
+          val vs = new Array[Double](width)
+          var c = 0
+          while (c < width) {
+            vs(c) = if (ir.isNullAt(1 + c)) Double.NaN else ir.getDouble(1 + c)
+            c += 1
+          }
+          val act = !hasChanged || ir.getBoolean(1 + width)
+          (ir.getLong(0), (vs, act))
+        }
         .partitionBy(hp)
       kernel.zipPartitions(keyed, preservesPartitioning = false) { (kIt, rIt) =>
         val kp = kIt.next()
-        val slot = new LongIntMap(kp.vids.length)
+        val n = kp.vids.length
+        val slot = new LongIntMap(n)
         var i = 0
-        while (i < kp.vids.length) { slot.put(kp.vids(i), i); i += 1 }
-        val arr = new Array[Double](kp.vids.length)
-        rIt.foreach { case (v, r) => arr(slot.get(v)) = r }
-        Iterator.single(arr)
+        while (i < n) { slot.put(kp.vids(i), i); i += 1 }
+        val values = new Array[Double](n * width)
+        val bits = new Array[Long]((n + 63) >>> 6)
+        var changed = 0L
+        rIt.foreach { case (v, (vs, act)) =>
+          val s = slot.get(v)
+          System.arraycopy(vs, 0, values, s * width, width)
+          if (act) { bits(s >>> 6) |= 1L << (s & 63); changed += 1 }
+        }
+        Iterator.single(PartState(values, bits, changed))
       }
     }
 
-    private def stateDF(state: RDD[Array[Double]]): DataFrame = {
-      val sp = spark
-      import sp.implicits._
-      kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
-        val kp = kIt.next(); val ranks = sIt.next()
-        Iterator.range(0, kp.vids.length).map(i => (kp.vids(i), ranks(i)))
-      }.toDF("vid", "rank")
+    /** Export a state RDD as (vid, columns…, changed) with NaN → null. */
+    private def stateDF(program: KernelProgram, state: RDD[PartState]): DataFrame = {
+      val width = program.width
+      val schema = StructType(
+        StructField("vid", LongType, nullable = false) +:
+          program.columns.map(c => StructField(c, DoubleType, nullable = true)) :+
+          StructField("changed", BooleanType, nullable = false))
+      val rows = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
+        val kp = kIt.next(); val ps = sIt.next()
+        Iterator.range(0, kp.vids.length).map { i =>
+          val cells = new Array[Any](width + 2)
+          cells(0) = kp.vids(i)
+          var c = 0
+          while (c < width) {
+            val v = ps.values(i * width + c)
+            cells(1 + c) = if (v.isNaN) null else java.lang.Double.valueOf(v)
+            c += 1
+          }
+          cells(width + 1) = bitGet(ps.active, i)
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(cells))
+        }
+      }
+      spark.createDataFrame(rows, schema)
     }
 
-    /** Reference-exact PageRank (src/apps/pr.h: rank₀=α; msg=rank/deg,
-      * 0 when deg 0; y=Σ msg·w; rank←α+(1−α)y; changed iff |Δ|>tol;
-      * Always source semantics). `maxIters>0` = fixed budget (the
-      * convergence check is disabled, vp:412-413); 0 = run until no
-      * vertex moves more than `tol`. `ckpt` gives the fast path the
-      * same durable resume contract as the Engine loop: resume from
-      * the latest snapshot (ranks re-slotted into the tile layout),
-      * save every `ckpt.every` supersteps plus a final snapshot. */
+    /** Reference-exact PageRank (src/apps/pr.h) on the kernel — see
+      * [[PrKernelProgram]] for the math. Kept as the named entry point
+      * (Bench/Apps/specs); delegates to the generalized loop. */
     def pagerank(maxIters: Int, alpha: Double = 0.15, tol: Double = 1e-5,
                  lineageTruncateEvery: Int = 20,
-                 ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult = {
+                 ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult =
+      run(new PrKernelProgram(alpha, tol), maxIters, lineageTruncateEvery, ckpt)
+
+    /** The generalized superstep loop. `maxIters > 0` = fixed budget
+      * (the per-vertex convergence check is disabled for stationary
+      * programs, vp:412-413; an empty frontier still ends a
+      * nonstationary run — further supersteps are provably no-ops);
+      * 0 = run until no vertex changed. `ckpt` gives the fast path the
+      * same durable resume contract as the Engine loop. */
+    def run(program: KernelProgram, maxIters: Int,
+            lineageTruncateEvery: Int = 20,
+            ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult = {
       val P = parts
+      val width = program.width
+      val sum = program.combineOp eq KernelProgram.Sum
+      val identity = program.combineOp.identity
+      val eop = program.edgeOp match {
+        case KernelProgram.MsgOnly => 0
+        case KernelProgram.MulW => 1
+        case KernelProgram.AddW => 2
+      }
+      val stationary = program.stationary
       val metrics = ArrayBuffer.empty[IterMetrics]
+
       val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
-      var state: RDD[Array[Double]] = resumed
-        .map { case (_, df) => stateFromDF(df) }
-        .getOrElse(kernel.map(kp => Array.fill(kp.vids.length)(alpha)))
+      var state: RDD[PartState] = resumed
+        .map { case (_, df) => stateFromDF(program, df) }
+        .getOrElse(kernel.map { kp =>
+          val n = kp.vids.length
+          val values = new Array[Double](n * width)
+          val bits = new Array[Long]((n + 63) >>> 6)
+          var changed = 0L
+          var i = 0
+          while (i < n) {
+            if (program.init(kp.vids(i), values, i * width)) {
+              bits(i >>> 6) |= 1L << (i & 63); changed += 1
+            }
+            i += 1
+          }
+          PartState(values, bits, changed)
+        })
         .persist(StorageLevel.MEMORY_AND_DISK)
-      state.count()
-      var prev: RDD[Array[Double]] = null
+      // materialize + read the initial frontier in one exactly-once job
+      var active = sc.runJob(state, (it: Iterator[PartState]) => it.next().changed).sum
+      var prev: RDD[PartState] = null
       var iter = resumed.map(_._1).getOrElse(0)
-      var active = numVertices
 
       def keepGoing: Boolean =
         if (numVertices == 0) false
-        else if (maxIters > 0) iter < maxIters
+        else if (maxIters > 0) iter < maxIters && (stationary || active > 0)
         else active > 0
 
       while (keepGoing) {
         val t0 = System.nanoTime()
-        sc.setJobGroup(s"graft-superstep-$iter", s"spmv pagerank superstep $iter",
-          interruptOnCancel = false)
-        val changedAcc = sc.longAccumulator(s"graft_spmv_changed_$iter")
+        val frontier = if (stationary) numVertices else active
         // GRAFT_KERNEL_PROFILE=1 → split pure tile-compute ns from the
-        // framework residue (iterator/serialization/shuffle)
+        // framework residue (iterator/serialization/shuffle); profiling
+        // only — retry-inflation is acceptable here, unlike the
+        // convergence count below, which rides the job result.
         val profAcc =
           if (sys.env.contains("GRAFT_KERNEL_PROFILE"))
             Some(sc.longAccumulator(s"graft_spmv_compute_ns_$iter"))
           else None
 
-        // ---- stage 1: per-tile gather into dense accumulators.
-        // The tile accumulator ships as a PACKED byte array
-        // ([int p][pad][doubles…]): primitive byte arrays take the
-        // serializer's bulk path (a block copy), where a boxed
-        // (Int, Array[Double]) record pays elementwise object-stream
-        // writes — measured 10-20× the kernel's actual compute time at
-        // local[32] (the compute loop is ~8 ms/thread/superstep; the
-        // boxed-record shuffle made the wall 395 ms).
-        val msgs: RDD[(Int, Array[Byte])] =
+        // ---- stage 1: per-tile gather — dense accumulate or sparse
+        // assemble, then pack. Packed byte arrays take the serializer's
+        // bulk path (a block copy), where a boxed record pays
+        // elementwise object-stream writes — measured 10-20× the
+        // kernel's actual compute time at local[32].
+        val msgs: RDD[((Int, Int), Array[Byte])] =
           kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
-            val kp = kIt.next(); val ranks = sIt.next()
+            val kp = kIt.next(); val ps = sIt.next()
             val p = TaskContext.getPartitionId()
+            val values = ps.values; val act = ps.active
+            val vids = kp.vids; val invDeg = kp.invDeg
             Iterator.range(0, P).flatMap { q =>
               val t = kp.tiles(q)
               if (t == null) Iterator.empty
               else {
                 val c0 = if (profAcc.isDefined) System.nanoTime() else 0L
-                val acc = new Array[Double](t.nDsts)
                 val srcSlots = t.srcSlots; val offsets = t.offsets
                 val dstLocal = t.dstLocal; val w = t.weights
-                val invDeg = kp.invDeg
-                var i = 0
-                while (i < srcSlots.length) {
-                  val slot = srcSlots(i)
-                  val msg = ranks(slot) * invDeg(slot) // hoisted: one mul per source row
-                  var e = offsets(i); val end = offsets(i + 1)
-                  if (w == null) { while (e < end) { acc(dstLocal(e)) += msg; e += 1 } }
-                  else { while (e < end) { acc(dstLocal(e)) += msg * w(e); e += 1 } }
-                  i += 1
-                }
-                // pack [int p][pad][doubles…] with ONE bulk copy
-                val bytes = new Array[Byte](8 + t.nDsts * 8)
-                val bb = java.nio.ByteBuffer.wrap(bytes)
-                bb.putInt(0, p)
-                bb.position(8)
-                bb.asDoubleBuffer().put(acc)
+                val out: Array[Byte] =
+                  if (stationary) {
+                    // dense loop over every source row (SpMV)
+                    val acc = new Array[Double](t.nDsts)
+                    if (!sum) java.util.Arrays.fill(acc, identity)
+                    var i = 0
+                    while (i < srcSlots.length) {
+                      val slot = srcSlots(i)
+                      val msg = program.message(vids(slot), values, slot * width, invDeg(slot))
+                      accumRow(acc, dstLocal, w, offsets(i), offsets(i + 1), msg, sum, eop)
+                      i += 1
+                    }
+                    packDense(acc)
+                  } else {
+                    // frontier pass: find the tile's active rows first
+                    // (a bit-test scan of srcSlots — ~1 ns/row; rows
+                    // with no active source skip ALL per-edge work)
+                    val rowsB = new scala.collection.mutable.ArrayBuilder.ofInt
+                    var aEdges = 0L
+                    var i = 0
+                    while (i < srcSlots.length) {
+                      if (bitGet(act, srcSlots(i))) {
+                        rowsB += i; aEdges += offsets(i + 1) - offsets(i)
+                      }
+                      i += 1
+                    }
+                    val rows = rowsB.result()
+                    if (rows.isEmpty) null
+                    else if (aEdges >= t.nDsts.toLong / 4) {
+                      // dense-enough frontier: same dense accumulate,
+                      // then pack sparse iff that ships fewer bytes
+                      val acc = new Array[Double](t.nDsts)
+                      if (!sum) java.util.Arrays.fill(acc, identity)
+                      var r = 0
+                      while (r < rows.length) {
+                        val i2 = rows(r); val slot = srcSlots(i2)
+                        val msg = program.message(vids(slot), values, slot * width, invDeg(slot))
+                        accumRow(acc, dstLocal, w, offsets(i2), offsets(i2 + 1), msg, sum, eop)
+                        r += 1
+                      }
+                      packBest(acc, identity)
+                    } else {
+                      // true SpMSpV: assemble (dst, value) pairs from
+                      // the frontier edges only — no nDsts-sized
+                      // touch at all (tcsc_spmspv2.hpp's sparse y)
+                      packSparseAssembled(rows, srcSlots, offsets, dstLocal, w,
+                        vids, values, invDeg, width, aEdges.toInt, sum, eop, program)
+                    }
+                  }
                 profAcc.foreach(_.add(System.nanoTime() - c0))
-                Iterator.single((q, bytes))
+                if (out == null) Iterator.empty else Iterator.single(((q, p), out))
               }
             }
           }
 
-        // ---- exchange (packed doubles only) + stage 2: fold + apply
-        val shuffled = msgs.partitionBy(idPart)
+        // ---- exchange + stage 2: the (q, p) key routes by q and sorts
+        // by p on the reduce side (spill-capable), so the fold below
+        // streams tiles in deterministic source-partition order with
+        // O(tile) — not O(V) — transient memory.
+        val shuffled = msgs.repartitionAndSortWithinPartitions(tilePart)
         val newState = shuffled.zipPartitions(kernel, state,
           preservesPartitioning = false) { (mIt, kIt, sIt) =>
           val kp = kIt.next(); val old = sIt.next()
-          val y = new Array[Double](kp.vids.length)
-          // fold in SORTED source-partition order: deterministic sums
-          val incoming = mIt.map(_._2).toArray
-          java.util.Arrays.sort(incoming, (a: Array[Byte], b: Array[Byte]) =>
-            Integer.compare(java.nio.ByteBuffer.wrap(a).getInt(0),
-              java.nio.ByteBuffer.wrap(b).getInt(0)))
-          var scratch = new Array[Double](0)
-          incoming.foreach { bytes =>
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-            val p = bb.getInt(0)
-            val n = (bytes.length - 8) / 8
-            if (scratch.length < n) scratch = new Array[Double](n)
-            bb.position(8)
-            bb.asDoubleBuffer().get(scratch, 0, n) // one bulk copy back out
+          val n = kp.vids.length
+          val y = new Array[Double](n)
+          if (!sum) java.util.Arrays.fill(y, identity)
+          var scratchD = new Array[Double](0)
+          var scratchI = new Array[Int](0)
+          mIt.foreach { case ((_, p), bytes) =>
             val slots = kp.inSlots(p)
-            var t = 0
-            while (t < n) { y(slots(t)) += scratch(t); t += 1 }
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val fmt = bb.getInt(0); val cnt = bb.getInt(4)
+            bb.position(8)
+            if (fmt == FmtDense) {
+              if (scratchD.length < cnt) scratchD = new Array[Double](cnt)
+              bb.asDoubleBuffer().get(scratchD, 0, cnt) // one bulk copy back out
+              var t = 0
+              if (sum) while (t < cnt) { y(slots(t)) += scratchD(t); t += 1 }
+              else while (t < cnt) {
+                val s = slots(t); val v = scratchD(t)
+                if (v < y(s)) y(s) = v
+                t += 1
+              }
+            } else {
+              if (scratchI.length < cnt) scratchI = new Array[Int](cnt)
+              if (scratchD.length < cnt) scratchD = new Array[Double](cnt)
+              bb.asIntBuffer().get(scratchI, 0, cnt)
+              bb.position(8 + 4 * cnt)
+              bb.asDoubleBuffer().get(scratchD, 0, cnt)
+              var t = 0
+              if (sum) while (t < cnt) { y(slots(scratchI(t))) += scratchD(t); t += 1 }
+              else while (t < cnt) {
+                val s = slots(scratchI(t)); val v = scratchD(t)
+                if (v < y(s)) y(s) = v
+                t += 1
+              }
+            }
           }
-          val out = new Array[Double](y.length)
+          // apply over EVERY slot (y = identity where silent), exactly
+          // like the Engine's left-outer apply join
+          val nv = old.values.clone()
+          val bits = new Array[Long]((n + 63) >>> 6)
           var changed = 0L
           var i = 0
-          while (i < out.length) {
-            val nr = alpha + (1.0 - alpha) * y(i)
-            if (math.abs(nr - old(i)) > tol) changed += 1
-            out(i) = nr
+          while (i < n) {
+            if (program.apply(nv, i * width, y(i), iter)) {
+              bits(i >>> 6) |= 1L << (i & 63); changed += 1
+            }
             i += 1
           }
-          changedAcc.add(changed)
-          Iterator.single(out)
+          Iterator.single(PartState(nv, bits, changed))
         }.persist(StorageLevel.MEMORY_AND_DISK)
 
         // RDD lineage (unlike the Engine's per-superstep eager
@@ -304,41 +560,148 @@ object SpmvKernel {
         // truncate periodically so task closures stay O(1)
         if (lineageTruncateEvery > 0 && (iter + 1) % lineageTruncateEvery == 0)
           newState.localCheckpoint()
-        newState.count() // the ONE action per superstep
+        // the ONE action per superstep: materializes newState AND
+        // returns each partition's changed count from the successful
+        // task attempt — exactly-once under retries (a recomputed
+        // partition returns its own deterministic count; nothing
+        // accumulates across attempts).
+        sc.setJobGroup(s"graft-superstep-$iter", s"${program.name} superstep $iter",
+          interruptOnCancel = false)
+        val counts =
+          try sc.runJob(newState, (it: Iterator[PartState]) => it.next().changed)
+          finally sc.clearJobGroup() // ckpt/export jobs are NOT the superstep
         profAcc.foreach(a => System.err.println(
           s"[kernel-profile] iter=$iter computeMs=${a.value / 1000000}"))
-        active = changedAcc.value
+        active = counts.sum
         if (prev != null) prev.unpersist(false)
         prev = state
         state = newState
         iter += 1
-        metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, numVertices)
+        metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, frontier)
         ckpt.foreach { c =>
-          if (c.shouldCheckpoint(iter)) c.save("pagerank-kernel", iter, stateDF(state), metrics.toSeq)
+          if (c.shouldCheckpoint(iter))
+            c.save(s"${program.name}-kernel", iter, stateDF(program, state), metrics.toSeq)
         }
       }
-      sc.clearJobGroup()
-      ckpt.foreach(c => c.save("pagerank-kernel", iter, stateDF(state), metrics.toSeq))
+      ckpt.foreach(c => c.save(s"${program.name}-kernel", iter, stateDF(program, state), metrics.toSeq))
 
-      val ranksRdd = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
-        val kp = kIt.next(); val ranks = sIt.next()
-        Iterator.range(0, kp.vids.length).map(i => (kp.vids(i), ranks(i)))
-      }
-      val checksum = ranksRdd.map(_._2).sum()
-      val sp = spark
-      import sp.implicits._
-      // SELF-CONTAINED result: materialize (vid, rank) as an eager
+      // deterministic checksum: per-partition sums folded in partition
+      // order (first state column, NaN skipped)
+      val partSums = sc.runJob(state, (it: Iterator[PartState]) => {
+        val ps = it.next()
+        var s = 0.0
+        var i = 0
+        while (i * width < ps.values.length) {
+          val v = ps.values(i * width)
+          if (!v.isNaN) s += v
+          i += 1
+        }
+        s
+      })
+      val checksum = partSums.foldLeft(0.0)(_ + _)
+      // SELF-CONTAINED result: materialize the export as an eager
       // localCheckpoint, then drop the loop's internal state blocks —
       // the returned frame never depends on kernel/state lineage, so
       // the caller may unpersist() the CompiledGraph in any order.
       // Release the result itself with Engine.release(result.state).
-      val df = ranksRdd.toDF("vid", "rank").localCheckpoint(true)
+      val df = stateDF(program, state).localCheckpoint(true)
       state.unpersist(false)
       if (prev != null) prev.unpersist(false)
       KernelResult(df, iter, metrics.toSeq, checksum)
     }
 
     def unpersist(): Unit = kernel.unpersist(false)
+  }
+
+  private def packDense(acc: Array[Double]): Array[Byte] = {
+    val bytes = new Array[Byte](8 + acc.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(0, FmtDense); bb.putInt(4, acc.length)
+    bb.position(8)
+    bb.asDoubleBuffer().put(acc) // ONE bulk copy
+    bytes
+  }
+
+  /** Dense accumulator → whichever pack ships fewer bytes (sparse
+    * entry = 12 bytes vs dense slot = 8). `identity` marks absent. */
+  private def packBest(acc: Array[Double], identity: Double): Array[Byte] = {
+    var nnz = 0
+    var i = 0
+    while (i < acc.length) { if (acc(i) != identity) nnz += 1; i += 1 }
+    if (12L * nnz >= 8L * acc.length) packDense(acc)
+    else {
+      val bytes = new Array[Byte](8 + 12 * nnz)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.putInt(0, FmtSparse); bb.putInt(4, nnz)
+      val ib = { bb.position(8); bb.asIntBuffer() }
+      val db = { bb.position(8 + 4 * nnz); bb.asDoubleBuffer() }
+      i = 0
+      while (i < acc.length) {
+        if (acc(i) != identity) { ib.put(i); db.put(acc(i)) }
+        i += 1
+      }
+      bytes
+    }
+  }
+
+  /** True SpMSpV tile pass: assemble (dstLocal, value) contributions
+    * from the frontier rows only, sort by (dst, edge-order) via one
+    * packed-long primitive sort (deterministic sum fold order), merge
+    * runs with the combiner, and pack sparse. Never touches an
+    * nDsts-sized array. */
+  private def packSparseAssembled(rows: Array[Int], srcSlots: Array[Int],
+                                  offsets: Array[Int], dstLocal: Array[Int],
+                                  w: Array[Double], vids: Array[Long],
+                                  values: Array[Double], invDeg: Array[Double],
+                                  width: Int, aEdges: Int, sum: Boolean, eop: Int,
+                                  program: KernelProgram): Array[Byte] = {
+    val order = new Array[Long](aEdges) // (dstLocal << 32) | contribution index
+    val vals = new Array[Double](aEdges)
+    var k = 0
+    var r = 0
+    while (r < rows.length) {
+      val i = rows(r); val slot = srcSlots(i)
+      val msg = program.message(vids(slot), values, slot * width, invDeg(slot))
+      var e = offsets(i); val end = offsets(i + 1)
+      while (e < end) {
+        val v = eop match {
+          case 0 => msg
+          case 1 => if (w == null) msg else msg * w(e)
+          case 2 => if (w == null) msg + 1.0 else msg + w(e)
+        }
+        order(k) = (dstLocal(e).toLong << 32) | k
+        vals(k) = v
+        k += 1
+        e += 1
+      }
+      r += 1
+    }
+    java.util.Arrays.sort(order)
+    // merge-combine runs of equal dst (ascending contribution order
+    // within a dst → deterministic sums)
+    val outI = new Array[Int](aEdges)
+    val outV = new Array[Double](aEdges)
+    var nnz = 0
+    var t = 0
+    while (t < aEdges) {
+      val d = (order(t) >>> 32).toInt
+      var v = vals(order(t).toInt)
+      t += 1
+      while (t < aEdges && (order(t) >>> 32).toInt == d) {
+        val v2 = vals(order(t).toInt)
+        if (sum) v += v2 else if (v2 < v) v = v2
+        t += 1
+      }
+      outI(nnz) = d; outV(nnz) = v; nnz += 1
+    }
+    val bytes = new Array[Byte](8 + 12 * nnz)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(0, FmtSparse); bb.putInt(4, nnz)
+    bb.position(8)
+    bb.asIntBuffer().put(outI, 0, nnz)
+    bb.position(8 + 4 * nnz)
+    bb.asDoubleBuffer().put(outV, 0, nnz)
+    bytes
   }
 
   /** Compile an edge table (src, dst[, w]) into the tiled kernel form.
@@ -430,9 +793,14 @@ object SpmvKernel {
     val vidSlot = new LongIntMap(vids.length)
     var vi = 0
     while (vi < vids.length) { vidSlot.put(vids(vi), vi); vi += 1 }
+    val deg = new Array[Long](vids.length)
     val invDeg = new Array[Double](vids.length)
     dIt.foreach { case (v, d) =>
-      if (d > 0) invDeg(vidSlot.get(v)) = 1.0 / d
+      if (d > 0) {
+        val s = vidSlot.get(v)
+        deg(s) = d
+        invDeg(s) = 1.0 / d
+      }
     }
 
     // bucket edges by destination partition
@@ -499,6 +867,6 @@ object SpmvKernel {
       }
       q += 1
     }
-    (KernelPartition(vids, invDeg, tiles, inSlots = null), dstVids)
+    (KernelPartition(vids, deg, invDeg, tiles, inSlots = null), dstVids)
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.EdgeListSource
-import graft.graph.Adjacency
+import graft.graph._
 import graft.algos._
 
 /** CLI drop-in for the reference's per-algorithm binaries
@@ -48,12 +48,60 @@ object Apps {
       .orderBy(desc("v"), asc("vid")).limit(5)
       .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
 
+  /** `kernel=true` routes pr/deg/cc/bfs/sssp through the tile-compiled
+    * SpmvKernel (graph/SpmvKernel) instead of the Catalyst Engine —
+    * identical results (KernelSpec/AppsSpec parity), reference-style
+    * single-binary semantics: the reference runs its whole app family
+    * on compiled kernels (src/singlenode/, vp:1331-1506). `tc` has no
+    * kernel analog (a 2-join wedge count, not a superstep loop). */
   def run(spark: SparkSession, app: String, file: String, iters: Int,
-          root: Long, parts: Int, weighted: Boolean): Summary = {
+          root: Long, parts: Int, weighted: Boolean,
+          kernel: Boolean = false): Summary = {
     val edges = load(spark, file, weighted)
     val t0 = System.nanoTime()
     def sec: Double = (System.nanoTime() - t0) / 1e9
     app match {
+      case "pr" if kernel =>
+        val g = SpmvKernel.compile(edges, parts)
+        val r = g.pagerank(maxIters = if (iters > 0) iters else 20)
+        g.unpersist()
+        Summary("pr", r.iterations, r.checksum, None, sec,
+          topOf(r.state, "rank"), Some(r.state), "rank")
+      case "deg" if kernel =>
+        // the kernel's degree phase: out-degrees straight off the
+        // compiled matrix (pr.cpp:40-49) — no superstep needed
+        val g = SpmvKernel.compile(edges, parts)
+        val d = g.outDegrees.localCheckpoint(true)
+        g.unpersist()
+        Summary("deg", 1, cks(d, "degree"), None, sec, topOf(d, "degree"), Some(d), "degree")
+      case "cc" if kernel =>
+        val und = GraphShaping.shape(edges,
+          EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
+        val g = SpmvKernel.compile(und, parts)
+        val r = g.run(new CcKernelProgram, maxIters = 0)
+        g.unpersist()
+        val st = r.state.select(col("vid"), col("label").cast("long").as("label"))
+        Summary("cc", r.iterations, cks(st, "label"),
+          Some(st.count()), sec, topOf(st, "label"), Some(st), "label")
+      case "bfs" if kernel =>
+        val und = GraphShaping.shape(edges,
+          EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+          .select("src", "dst")
+        val g = SpmvKernel.compile(und, parts)
+        val r = g.run(new BfsKernelProgram(root), maxIters = 0)
+        g.unpersist()
+        val st = r.state.select(col("vid"), col("parent").cast("long").as("parent"),
+          col("hops").cast("long").as("hops"))
+        val reached = st.filter(col("hops").isNotNull)
+        Summary("bfs", r.iterations, cks(reached, "hops"),
+          Some(reached.count()), sec, topOf(reached, "hops"), Some(st), "hops")
+      case "sssp" if kernel =>
+        val g = SpmvKernel.compile(edges, parts)
+        val r = g.run(new SsspKernelProgram(root), maxIters = 0)
+        g.unpersist()
+        val reached = r.state.filter(col("dist").isNotNull)
+        Summary("sssp", r.iterations, cks(reached, "dist"),
+          Some(reached.count()), sec, topOf(reached, "dist"), Some(r.state), "dist")
       case "pr" =>
         val adj = Adjacency.build(edges, parts)
         val r = PageRank.run(adj, maxIters = if (iters > 0) iters else 20)
@@ -88,7 +136,8 @@ object Apps {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("Usage: Apps <pr|deg|cc|bfs|sssp|tc> <file> " +
-        "[<num_vertices>] [<num_iterations>] [root=N] [weighted=true|false] [cores=N]")
+        "[<num_vertices>] [<num_iterations>] [root=N] [weighted=true|false] " +
+        "[cores=N] [kernel=true|false]")
       sys.exit(1)
     }
     val app = args(0)
@@ -104,6 +153,7 @@ object Apps {
       .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
     val weighted = kv.get("weighted").map(_.toBoolean)
       .getOrElse(app == "sssp" && file.endsWith(".bin"))
+    val kernel = kv.get("kernel").exists(_.toBoolean)
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -113,7 +163,7 @@ object Apps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val s = run(spark, app, file, iters, root, parts = cores, weighted)
+    val s = run(spark, app, file, iters, root, parts = cores, weighted, kernel)
     println(s"Iterations: ${s.iterations}")
     println(f"Value checksum: ${s.checksum}%.6f")
     s.reachable.foreach(n => println(s"Reachable vertices: $n"))

@@ -66,10 +66,18 @@ final class PhaseListener extends SparkListener {
     }) Thread.sleep(20)
   }
 
-  /** Phase breakdown per observed superstep, iter-ascending. Gather =
-    * sum of non-result stages, apply = the result stage. */
+  /** Phase breakdown per observed superstep, iter-ascending — ONE
+    * entry per iter: if several jobs ran under the same superstep
+    * group (both loops now clear the group right after the
+    * materializing action, but e.g. an old artifact or a user job
+    * could still double up), only the FIRST job of the iter — the
+    * state materialization itself — counts, so checkpoint-save or
+    * fallback-count jobs can never shift the positional pairing in
+    * `summarize`. Gather = sum of non-result stages, apply = the
+    * result stage. */
   def phases(): Seq[Phases] =
-    jobIter.values.toSeq.sortBy(_._1).flatMap { case (iter, stageIds, resultId) =>
+    jobIter.toSeq.groupBy(_._2._1).toSeq.sortBy(_._1).flatMap { case (iter, jobs) =>
+      val (_, (_, stageIds, resultId)) = jobs.minBy(_._1)
       val apply = stageDone.get(resultId)
       val gathers = stageIds.filterNot(_ == resultId).flatMap(stageDone.get)
       apply.map { a =>

@@ -39,4 +39,42 @@ class AppsSpec extends SparkTestBase {
     // directed distances from 0: 0, 1, 3 (w=2 hop), 4
     assert(sp.reachable.contains(4L) && sp.checksum == 0 + 1 + 3 + 4)
   }
+
+  test("kernel=true routes every app through the compiled path with unchanged checksums") {
+    assume(Files.exists(java.nio.file.Paths.get(sampleBin)))
+    // same assertions as the engine-path tests above — the kernel path
+    // must be a checksum-for-checksum drop-in (VertexProgram contract
+    // on compiled tiles, graph/SpmvKernel)
+    val pr = Apps.run(spark, "pr", sampleBin, iters = 5, root = 0, parts,
+      weighted = false, kernel = true)
+    val prEngine = Apps.run(spark, "pr", sampleBin, iters = 5, root = 0, parts,
+      weighted = false)
+    assert(pr.iterations == 5 && math.abs(pr.checksum - prEngine.checksum) <= 1e-9)
+    // same top-5 vertices; values agree to 1e-9 (the two paths sum
+    // contributions in different orders, so last-ulp drift is expected)
+    assert(pr.top.map(_._1) == prEngine.top.map(_._1))
+    pr.top.zip(prEngine.top).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9)
+    }
+    val deg = Apps.run(spark, "deg", sampleBin, iters = 0, root = 0, parts,
+      weighted = false, kernel = true)
+    assert(deg.checksum == 16384.0) // Σ out-degree = E, same as the engine row
+
+    val dir = Files.createTempDirectory("graft-apps-kernel").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "g.txt"),
+      """0 1
+        |1 2 2
+        |2 3
+        |8 9
+        |""".stripMargin)
+    val bfs = Apps.run(spark, "bfs", s"$dir/g.txt", iters = 0, root = 0, parts,
+      weighted = false, kernel = true)
+    assert(bfs.reachable.contains(4L) && bfs.checksum == 0 + 1 + 2 + 3)
+    val cc = Apps.run(spark, "cc", s"$dir/g.txt", iters = 0, root = 0, parts,
+      weighted = false, kernel = true)
+    assert(cc.reachable.contains(6L) && cc.checksum == 0 * 4 + 8 * 2)
+    val sp = Apps.run(spark, "sssp", s"$dir/g.txt", iters = 0, root = 0, parts,
+      weighted = false, kernel = true)
+    assert(sp.reachable.contains(4L) && sp.checksum == 0 + 1 + 3 + 4)
+  }
 }

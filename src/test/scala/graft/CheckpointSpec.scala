@@ -86,6 +86,72 @@ class CheckpointSpec extends SparkTestBase {
     assert(resumed == straight, "kernel resume diverged from the uninterrupted run")
   }
 
+  test("kernel resume from a kill at a NON-multiple of `every` replays the window deterministically") {
+    val es = randomEdges(150, 900, seed = 67)
+    val g = SpmvKernel.compile(edgesDF(es), parts)
+    def ranksOf(r: SpmvKernel.KernelResult): Map[Long, Double] =
+      r.state.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+
+    val straight = ranksOf(g.pagerank(maxIters = 10))
+
+    // run 7 supersteps with every=5: snapshots land at 5 and (final) 7.
+    // Simulate a kill BEFORE the final save by deleting iter=00007 —
+    // the latest complete snapshot is then 5, mid-window — and resume:
+    // the loop must replay 6..10 and land bit-identically.
+    val dir = Files.createTempDirectory("graft-ckpt-cadence").toString
+    val mgr = new CheckpointManager(dir, every = 5)
+    g.pagerank(maxIters = 7, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(7))
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(deleteRec(_))
+      Files.delete(p)
+    }
+    deleteRec(java.nio.file.Paths.get(dir, "iter=00007"))
+    assert(mgr.latestIter().contains(5))
+    val resumed = ranksOf(g.pagerank(maxIters = 10, ckpt = Some(mgr)))
+    g.unpersist()
+    assert(resumed == straight, "mid-window resume diverged from the uninterrupted run")
+  }
+
+  test("kernel frontier resume: CC restores the changed bitset from the snapshot") {
+    val es = randomEdges(250, 700, seed = 71)
+    val und = GraphShaping.shape(edgesDF(es),
+      EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
+    val g = SpmvKernel.compile(und, parts)
+    def labelsOf(r: SpmvKernel.KernelResult): Set[(Long, Long)] =
+      r.state.select("vid", "label").collect()
+        .map(x => (x.getLong(0), x.getDouble(1).toLong)).toSet
+
+    val straight = labelsOf(g.run(new CcKernelProgram, maxIters = 0))
+
+    // "kill" after 2 supersteps (mid-propagation: the frontier is
+    // partial, so a resume that lost the changed bits would either
+    // stop early or over-message), then resume to the fixpoint
+    val dir = Files.createTempDirectory("graft-ckpt-cc-kernel").toString
+    val mgr = new CheckpointManager(dir, every = 2)
+    g.run(new CcKernelProgram, maxIters = 2, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(2))
+    val resumed = labelsOf(g.run(new CcKernelProgram, maxIters = 0, ckpt = Some(mgr)))
+    g.unpersist()
+    assert(resumed == straight, "frontier resume diverged from the uninterrupted run")
+  }
+
+  test("resuming a kernel run from a DIFFERENT graph's snapshot fails fast, not hangs") {
+    val gA = SpmvKernel.compile(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 0L))), parts)
+    val gB = SpmvKernel.compile(edgesDF(Seq((1000L, 1001L), (1001L, 1000L))), parts)
+    val dir = Files.createTempDirectory("graft-ckpt-mismatch").toString
+    val mgr = new CheckpointManager(dir, every = 1)
+    gB.pagerank(maxIters = 2, ckpt = Some(mgr))
+    val e = intercept[Exception] {
+      gA.pagerank(maxIters = 4, ckpt = Some(mgr))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not present in the compiled graph")),
+      s"expected the bounded-probe diagnostic, got: ${messages(e).mkString(" | ")}")
+    gA.unpersist(); gB.unpersist()
+  }
+
   test("exact-state algorithms resume bit-identically (CC)") {
     val es = randomEdges(200, 400, seed = 57)
     val straight = ConnectedComponents.run(edgesDF(es), parts)

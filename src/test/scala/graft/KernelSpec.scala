@@ -87,6 +87,104 @@ class KernelSpec extends SparkTestBase {
     empty.unpersist()
   }
 
+  // ---- generalized kernel: the frontier (SpMSpV) mode must be a
+  // drop-in for the Catalyst engine on the whole nonstationary family
+
+  private def undirected(es: Seq[(Long, Long)], selfLoops: Boolean = true) =
+    GraphShaping.shape(edgesDF(es),
+      EdgeShaping(selfLoops = selfLoops, directed = false, parallelEdges = false))
+      .select("src", "dst")
+
+  test("CC on the kernel frontier path equals the Catalyst engine (labels AND iterations)") {
+    val es = randomEdges(300, 1200, seed = 101) ++ Seq((500L, 501L), (502L, 502L)) // extra tiny comps
+    val g = SpmvKernel.compile(undirected(es), parts)
+    val r = g.run(new CcKernelProgram, maxIters = 0)
+    val got = r.state.select("vid", "label").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1).toLong).toMap
+    g.unpersist()
+    val eng = graft.algos.ConnectedComponents.run(edgesDF(es), parts)
+    val want = eng.state.select("vid", "label").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want, "kernel CC labels diverge from the engine")
+    assert(r.iterations == eng.iterations,
+      s"kernel ran ${r.iterations} supersteps, engine ${eng.iterations}")
+  }
+
+  test("BFS on the kernel frontier path equals the engine (parent, hops, iterations)") {
+    val es = randomEdges(250, 900, seed = 103)
+    val g = SpmvKernel.compile(undirected(es, selfLoops = false), parts)
+    val r = g.run(new BfsKernelProgram(0L), maxIters = 0)
+    val got = r.state.select("vid", "parent", "hops").collect().map { x =>
+      x.getLong(0) -> (
+        if (x.isNullAt(1)) None else Some(x.getDouble(1).toLong),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2).toLong))
+    }.toMap
+    g.unpersist()
+    val eng = graft.algos.Traversal.bfs(edgesDF(es), root = 0L, parts)
+    val want = eng.state.select("vid", "parent", "hops").collect().map { x =>
+      x.getLong(0) -> (
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))
+    }.toMap
+    assert(got == want, "kernel BFS state diverges from the engine")
+    assert(r.iterations == eng.iterations)
+  }
+
+  test("weighted SSSP on the kernel equals the engine relax exactly") {
+    val rnd = new scala.util.Random(107)
+    val es = (0 until 800).map { _ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong, 1.0 + rnd.nextInt(5))
+    }
+    val g = SpmvKernel.compile(wEdgesDF(es), parts)
+    val r = g.run(new SsspKernelProgram(0L), maxIters = 0)
+    val got = r.state.select("vid", "dist").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    g.unpersist()
+    val eng = graft.algos.Traversal.sssp(wEdgesDF(es), root = 0L, parts)
+    val want = eng.state.select("vid", "dist").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(got == want, "kernel SSSP distances diverge from the engine")
+    assert(r.iterations == eng.iterations)
+  }
+
+  test("unweighted SSSP (relax = dist+1) matches hop counts from BFS on a directed line") {
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 0L)) // 9 unreachable from 0
+    val g = SpmvKernel.compile(edgesDF(es), parts)
+    val r = g.run(new SsspKernelProgram(0L), maxIters = 0)
+    val got = r.state.select("vid", "dist").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    g.unpersist()
+    assert(got == Map(0L -> Some(0.0), 1L -> Some(1.0), 2L -> Some(2.0),
+      3L -> Some(3.0), 4L -> Some(4.0), 9L -> None))
+  }
+
+  test("frontier runs are deterministic (two CC runs bit-identical)") {
+    val es = randomEdges(200, 800, seed = 109)
+    def once(): Seq[(Long, Double)] = {
+      val g = SpmvKernel.compile(undirected(es), parts)
+      val r = g.run(new CcKernelProgram, maxIters = 0)
+      val out = r.state.select("vid", "label").collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq.sorted
+      g.unpersist()
+      out
+    }
+    assert(once() == once())
+  }
+
+  test("degree modes: compiled out-degrees and one-superstep in-degrees match the relational path") {
+    val es = randomEdges(120, 700, seed = 113) ++ Seq((5L, 5L), (5L, 5L)) // parallel self-loops count
+    val g = SpmvKernel.compile(edgesDF(es), parts)
+    val gotOut = g.outDegrees.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val gotIn = g.inDegrees.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    g.unpersist()
+    val wantOut = graft.algos.Degree.out(edgesDF(es)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val wantIn = graft.algos.Degree.in(edgesDF(es)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(gotOut == wantOut)
+    assert(gotIn == wantIn)
+  }
+
   test("compile audit: V/E counts and bounded imbalance on a skewed graph") {
     val es = randomEdges(300, 4000, seed = 99)
     val g = SpmvKernel.compile(edgesDF(es), parts)
