@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
 
 /** Per-round benchmark. Two phases:
   *
@@ -10,16 +11,33 @@ import java.nio.file.{Files, Paths}
   *  2. Cluster-size scaling evidence (BASELINE.json north_rule): the
   *     identical PageRank job — synthetic repo corpus → edge
   *     extraction → parked parquet edge table → 10 supersteps — run at
-  *     two parallelism levels, N = cpus/4 and 4N = cpus cores (shuffle
-  *     partitions matched to cores), on the SAME parked input. Each
+  *     two parallelism levels on the SAME parked input, plus an
+  *     unsaturated-pair curve, a frontier-algorithm (CC) kernel-vs-
+  *     engine pair, and the Catalyst-engine continuity pair. Each
   *     sample runs in its own FORKED JVM (graft.tools.ScalingProbe) so
   *     GC state never bleeds between configurations; throughput =
-  *     E / median superstep seconds (median is robust to warmup and
-  *     host-VM jitter). Also reports iterations-to-convergence at
-  *     per-vertex |Δrank| ≤ 1e-6 (the BASELINE metric's second half).
+  *     E / median superstep seconds.
   *
-  * Emits ONE JSON line {"metric","value","unit","queries","sf",...}
-  * plus writes BENCH.md with the scaling table.
+  * ARTIFACT-FIRST contract (round-3 fix — the driver's bench run must
+  * always leave a parseable record, even if it is killed mid-phase-2):
+  *
+  *  - the phase-1 JSON line is PRINTED and parked in BENCH.json as
+  *    soon as the query sweep finishes, BEFORE any scaling work;
+  *  - BENCH.json and BENCH.md are REWRITTEN after every completed
+  *    scaling sample, so the newest artifact always reflects
+  *    everything measured so far;
+  *  - phase 2 runs under a wall-clock budget
+  *    (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1500 s for the whole
+  *    bench): the strong pair and the unsaturated 1→4 pair always
+  *    run; every other sample is OPTIONAL and is shed — recorded in
+  *    BENCH.md — when the remaining budget is smaller than ~1.3× the
+  *    last sample's cost on that table;
+  *  - cumulative settle() sleeping is capped (SETTLE budget) instead
+  *    of up to 3 minutes per fork.
+  *
+  * Emits the final JSON line {"metric","value","unit","queries","sf",
+  * ...} on stdout at the end (the phase-1 flush printed the same shape
+  * minus scaling, so a kill between the two still leaves one line).
   */
 object Bench {
 
@@ -43,18 +61,47 @@ object Bench {
     s
   }
 
-  /** Synthesize corpus → extract edges → park as parquet, CACHED by
-    * repo count under /tmp/graftbench_cache (the corpus is a pure
-    * function of nRepos, seed fixed): repeat bench runs in a round
-    * reuse the table instead of re-generating ~10 minutes of corpus.
-    * The gen session keeps Spark's DEFAULT shuffle compression — the
-    * corpus extraction shuffles ~100 GB of file content at 64M repos,
-    * and the loop-tuned compression-off session tripled the /tmp
-    * spill footprint (measured ENOSPC at 64M repos). */
+  /** Bump when RepoCorpus/EdgeExtraction (or their defaults) change —
+    * cached tables stamped with a different config are regenerated
+    * instead of silently reused (a stale cache would bench current
+    * code against old bytes). */
+  private val GenVersion = "g1"
+  private def genConfig(nRepos: Long): String =
+    s"$GenVersion|nRepos=$nRepos|filesPerRepo=4|seed=default|extract=sha-ingest"
+
+  /** Synthesize corpus → extract edges → park as parquet on the
+    * /dev/shm tmpfs, CACHED by repo count + generator config (the
+    * `_gen_config` stamp — underscore-prefixed so parquet readers skip
+    * it). Tables parked by earlier rounds under the legacy names
+    * (e64m.parquet / e64000000repos.parquet, no stamp) are ADOPTED and
+    * stamped on first touch — the generators are untouched since those
+    * tables were written, and regenerating the 64M-repo table costs
+    * ~10 min of the bench budget. */
   private def prepareEdges(cpus: Int, nRepos: Long): String = {
-    val cached = Paths.get(s"/tmp/graftbench_cache/e${nRepos}repos.parquet")
-    if (Files.exists(cached.resolve("_SUCCESS"))) return cached.toString
-    Files.createDirectories(cached.getParent)
+    val names =
+      (if (nRepos % 1000000 == 0) Seq(s"e${nRepos / 1000000}m.parquet") else Seq.empty) :+
+        s"e${nRepos}repos.parquet"
+    val candidates =
+      names.map(Paths.get("/dev/shm/graftbench").resolve) ++
+        names.map(Paths.get("/tmp/graftbench_cache").resolve)
+    val want = genConfig(nRepos)
+    for (c <- candidates if Files.exists(c.resolve("_SUCCESS"))) {
+      val marker = c.resolve("_gen_config")
+      if (Files.exists(marker)) {
+        if (Files.readString(marker).trim == want) return c.toString
+        else System.err.println(s"[bench] $c: _gen_config mismatch — ignoring this cache")
+      } else {
+        System.err.println(s"[bench] adopting legacy cached table $c (stamping $GenVersion)")
+        Files.writeString(marker, want)
+        return c.toString
+      }
+    }
+    val out = Paths.get("/dev/shm/graftbench").resolve(s"e${nRepos}repos.parquet")
+    Files.createDirectories(out.getParent)
+    // The gen session keeps Spark's DEFAULT shuffle compression — the
+    // corpus extraction shuffles ~100 GB of file content at 64M repos,
+    // and the loop-tuned compression-off session tripled the spill
+    // footprint (measured ENOSPC at 64M repos).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-gen-$cpus")
@@ -68,9 +115,10 @@ object Bench {
       val corpus = RepoCorpus.generate(spark,
         RepoCorpus.Config(nRepos = nRepos, filesPerRepo = 4))
       val (edges, _) = EdgeExtraction.ingest(EdgeExtraction.withSha(corpus))
-      edges.write.mode("overwrite").parquet(cached.toString)
+      edges.write.mode("overwrite").parquet(out.toString)
+      Files.writeString(out.resolve("_gen_config"), want)
     } finally spark.stop()
-    cached.toString
+    out.toString
   }
 
   /** JDK17 --add-opens set Spark needs (same list as run_main.sh). */
@@ -102,23 +150,43 @@ object Bench {
   final case class Sample(edges: Long, loopSec: Double, medianIterSec: Double,
                           tput: Double, imbalance: Double, breached: Boolean,
                           gatherMs: Long, applyMs: Long, barrierMs: Long,
-                          medBarrierMs: Long)
+                          medBarrierMs: Long, iters: Int, wallSec: Double)
+
+  /** Cumulative settle budget across the whole bench — round 3's
+    * per-fork 3-minute cap summed to ~35 min of pure sleeping over
+    * ~12 forks on a busy box, which alone could eat the driver's
+    * wall-clock allowance. */
+  private var settleBudgetNs: Long = 240L * 1000000000L
+
+  /** Wait for the box to settle (dead-JVM page reclaim, co-tenant
+    * spikes) before a timing sample, spending from the GLOBAL budget. */
+  private def settle(): Unit = {
+    val start = System.nanoTime()
+    val deadline = start + math.min(settleBudgetNs, 120L * 1000000000L)
+    while (System.nanoTime() < deadline && {
+      val load = scala.util.Try(
+        Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble).getOrElse(0.0)
+      load > 2.5
+    }) Thread.sleep(5000)
+    settleBudgetNs = math.max(0L, settleBudgetNs - (System.nanoTime() - start))
+  }
 
   /** Best of k forked samples (min median-iter-sec wins): the host VM
     * shows up-to-6× jitter windows between identical runs, so a single
     * sample per config is a lottery; min-of-k is the standard
     * shared-machine de-noiser. A fork that dies (host-side OOM kill,
-    * transient JVM failure — observed once across ~40 forks) is
-    * retried once rather than aborting the whole bench; only a config
-    * with ZERO surviving samples propagates the failure. */
+    * transient JVM failure) is retried once rather than aborting the
+    * whole bench; only a config with ZERO surviving samples propagates
+    * the failure. */
   private def prSampleBest(cpus: Int, edgePath: String, iters: Int,
-                           k: Int, kernel: Boolean = true): Sample = {
+                           k: Int, kernel: Boolean = true,
+                           algo: String = "pr"): Sample = {
     val results = scala.collection.mutable.ArrayBuffer.empty[Sample]
     var lastErr: Throwable = null
     var tries = 0
     while (results.size < k && tries < k + 1) {
       tries += 1
-      try results += prSampleForked(cpus, edgePath, iters, kernel)
+      try results += prSampleForked(cpus, edgePath, iters, kernel, algo)
       catch {
         case e: Throwable =>
           lastErr = e
@@ -130,23 +198,14 @@ object Bench {
     results.minBy(_.medianIterSec)
   }
 
-  /** Wait for the box to settle (dead-JVM page reclaim, co-tenant
-    * spikes) before a timing sample — up to 3 minutes. */
-  private def settle(): Unit = {
-    val deadline = System.nanoTime() + 180L * 1000000000L
-    while (System.nanoTime() < deadline && {
-      val load = scala.util.Try(
-        Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble).getOrElse(0.0)
-      load > 2.5
-    }) Thread.sleep(5000)
-  }
-
-  /** One PageRank sample in a FORKED JVM. `kernel` picks the
-    * tile-compiled SpMV fast path (the production fixed-iteration
-    * configuration) vs the Catalyst Engine path. */
+  /** One sample in a FORKED JVM. `kernel` picks the tile-compiled
+    * SpMV/SpMSpV fast path vs the Catalyst Engine path; `algo` picks
+    * fixed-iteration PageRank (stationary) or to-fixpoint CC
+    * (nonstationary frontier). */
   private def prSampleForked(cpus: Int, edgePath: String,
-                             iters: Int, kernel: Boolean): Sample = {
+                             iters: Int, kernel: Boolean, algo: String): Sample = {
     settle()
+    val w0 = System.nanoTime()
     val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "48g")
     val java = sys.props("java.home") + "/bin/java"
     val cmd = Seq(java) ++ addOpens ++ Seq(
@@ -155,6 +214,7 @@ object Bench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("PROBE_ITERS", iters.toString)
     pb.environment().put("PROBE_KERNEL", if (kernel) "1" else "0")
+    pb.environment().put("PROBE_ALGO", algo)
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
@@ -164,14 +224,15 @@ object Bench {
         cmd.mkString(" ") + "\noutput tail:\n" +
         out.linesIterator.toSeq.takeRight(20).mkString("\n")))
     def field(k: String): String =
-      s""""$k":([0-9.a-z]+)""".r.findFirstMatchIn(line).map(_.group(1))
+      s""""$k":([0-9.a-z-]+)""".r.findFirstMatchIn(line).map(_.group(1))
         .getOrElse(sys.error(s"missing $k in $line"))
     val e = field("edges").toLong
     val med = field("medianIterSec").toDouble
-    Sample(e, field("loopSec").toDouble, med, e / med,
+    Sample(e, field("loopSec").toDouble, med, if (med > 0) e / med else 0.0,
       field("imbalance").toDouble, field("balanceBreached").toBoolean,
       field("gatherMs").toLong, field("applyMs").toLong,
-      field("barrierMs").toLong, field("medBarrierMs").toLong)
+      field("barrierMs").toLong, field("medBarrierMs").toLong,
+      field("iters").toInt, (System.nanoTime() - w0) / 1e9)
   }
 
   /** Iterations until every vertex's |Δrank| ≤ 1e-6 (the BASELINE
@@ -191,173 +252,254 @@ object Bench {
     } finally spark.stop()
   }
 
+  // ---- incremental artifact state ------------------------------------
+  private val S = mutable.LinkedHashMap.empty[String, Sample]
+  private var queryResults: Seq[(String, Double)] = Seq.empty
+  private var convOpt: Option[(Int, Double, Long)] = None
+  private val shed = mutable.ArrayBuffer.empty[String]
+  private var sfDir = ""
+  private var loCores = 8
+  private var hiCores = 32
+
+  private def f3(d: Double): String = f"$d%.3f"
+
+  private def eff(num: Option[Sample], den: Option[Sample], factor: Double): Option[Double] =
+    for (n <- num; d <- den; if d.tput > 0) yield n.tput / (d.tput * factor)
+
+  /** Rewrite BENCH.json + BENCH.md from everything measured so far —
+    * called after phase 1 and after EVERY scaling sample, so a kill at
+    * any point leaves the newest complete record on disk. */
+  private def writeArtifacts(): Unit = {
+    val qs = queryResults.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val total = queryResults.map(_._2).sum
+
+    val strongEff = eff(S.get("kHiE"), S.get("kLoE"), hiCores.toDouble / loCores)
+    val strongEff14 = eff(S.get("k4Q"), S.get("k1Q"), 4.0)
+    val weakEff = eff(S.get("kHiE"), S.get("kLoQ"), hiCores.toDouble / loCores)
+    val weakEffUnsat = eff(S.get("k4Q"), S.get("k1S"), 4.0)
+    val engineStrongEff = eff(S.get("eHiS"), S.get("eLoS"), hiCores.toDouble / loCores)
+    val kernelVsEngine = for (k <- S.get("kLoS"); e <- S.get("eLoS"); if e.tput > 0)
+      yield k.tput / e.tput
+    val ccSpeedup = for (k <- S.get("ccK"); e <- S.get("ccE"); if k.loopSec > 0)
+      yield e.loopSec / k.loopSec
+
+    val scalingFields = mutable.ArrayBuffer.empty[String]
+    scalingFields += s""""mode":"kernel","cores_lo":$loCores,"cores_hi":$hiCores"""
+    S.get("kHiE").foreach(s => scalingFields +=
+      s""""edges":${s.edges},"tput_hi":${f"${s.tput}%.0f"},"med_barrier_ms_hi":${s.medBarrierMs},"gather_ms_hi":${s.gatherMs},"apply_ms_hi":${s.applyMs},"barrier_ms_hi":${s.barrierMs},"imbalance":${f"${s.imbalance}%.4f"},"balance_breached":${s.breached}""")
+    S.get("kLoE").foreach(s => scalingFields += s""""tput_lo":${f"${s.tput}%.0f"}""")
+    strongEff.foreach(e => scalingFields += s""""strong_eff":${f3(e)}""")
+    S.get("k1Q").foreach(s => scalingFields += s""""tput_1_quarter":${f"${s.tput}%.0f"}""")
+    S.get("k4Q").foreach(s => scalingFields += s""""tput_4_quarter":${f"${s.tput}%.0f"}""")
+    strongEff14.foreach(e => scalingFields += s""""strong_eff_1_4":${f3(e)}""")
+    S.get("kLoQ").foreach(s => scalingFields +=
+      s""""edges_quarter":${s.edges},"tput_lo_quarter":${f"${s.tput}%.0f"}""")
+    weakEff.foreach(e => scalingFields += s""""weak_eff":${f3(e)}""")
+    weakEffUnsat.foreach(e => scalingFields += s""""weak_eff_unsat":${f3(e)}""")
+    engineStrongEff.foreach(e => scalingFields += s""""engine_strong_eff":${f3(e)}""")
+    S.get("eLoS").foreach(s => scalingFields += s""""engine_tput_lo_16th":${f"${s.tput}%.0f"}""")
+    S.get("eHiS").foreach(s => scalingFields +=
+      s""""engine_tput_hi_16th":${f"${s.tput}%.0f"},"engine_med_barrier_ms_hi":${s.medBarrierMs}""")
+    kernelVsEngine.foreach(x => scalingFields += s""""kernel_vs_engine_tput":${f"$x%.1f"}""")
+    S.get("ccK").foreach(s => scalingFields +=
+      s""""cc_kernel_loop_sec":${f"${s.loopSec}%.2f"},"cc_kernel_iters":${s.iters}""")
+    S.get("ccE").foreach(s => scalingFields +=
+      s""""cc_engine_loop_sec":${f"${s.loopSec}%.2f"},"cc_engine_iters":${s.iters}""")
+    ccSpeedup.foreach(x => scalingFields += s""""cc_kernel_speedup":${f"$x%.1f"}""")
+    convOpt.foreach { case (it, sec, _) =>
+      scalingFields += s""""pr_iters_to_convergence":$it"""
+    }
+    if (shed.nonEmpty)
+      scalingFields += s""""shed":${shed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+
+    val prTput = S.get("kHiE").orElse(S.get("k4Q")).map(_.tput)
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        prTput.map(t => s""","pr_edges_per_sec_per_superstep":${f"$t%.0f"}""").getOrElse("") +
+        s""","scaling":{${scalingFields.mkString(",")}}}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+
+    val md = new StringBuilder
+    md ++= "# BENCH — measured (local-mode scaling evidence)\n\n"
+    md ++= "PageRank rows: 10 supersteps on the synthetic repo-link edge table\n"
+    md ++= "(RepoCorpus seed=42 → EdgeExtraction → parked parquet, read back\n"
+    md ++= "identically by every run); throughput = E / median superstep sec.\n"
+    md ++= "CC rows: to-fixpoint frontier runs (loop sec is the comparable\n"
+    md ++= "number; median iter is skewed by the shrinking frontier). Each\n"
+    md ++= "config = one-or-more forked-JVM samples, min median wins.\n"
+    md ++= "\"Executor\" analog = local core; partitions = cores. Kernel =\n"
+    md ++= "graph/SpmvKernel (compile once, one 2-stage RDD job per superstep,\n"
+    md ++= "packed exchange; frontier bitsets + sparse packs for CC). Phase\n"
+    md ++= "split (gather/apply/barrier) from real per-stage task metrics\n"
+    md ++= "(tools/PhaseListener). Artifacts are rewritten after every sample;\n"
+    md ++= "\"shed\" lists optional samples dropped to fit the wall budget.\n\n"
+    md ++= "| config | edges | loop sec | median iter sec | edges/sec/superstep | med barrier ms | iters |\n"
+    md ++= "|---|---|---|---|---|---|---|\n"
+    def row(label: String, key: String): Unit = S.get(key).foreach(s =>
+      md ++= (s"| $label | ${s.edges} | ${f"${s.loopSec}%.2f"} | ${f3(s.medianIterSec)} | " +
+        f"${s.tput}%.0f | ${s.medBarrierMs} | ${s.iters} |%n"))
+    row("kernel PR 1 core, E/4", "k1Q")
+    row("kernel PR 4 cores, E/4", "k4Q")
+    row(s"kernel PR N=$loCores cores, E/4", "kLoQ")
+    row("kernel PR 1 core, E/16", "k1S")
+    row(s"kernel PR N=$loCores cores, E", "kLoE")
+    row(s"kernel PR 4N=$hiCores cores, E", "kHiE")
+    row(s"kernel PR N=$loCores cores, E/16", "kLoS")
+    row(s"engine PR N=$loCores cores, E/16", "eLoS")
+    row(s"engine PR 4N=$hiCores cores, E/16", "eHiS")
+    row(s"kernel CC 4N=$hiCores cores, E/16", "ccK")
+    row(s"engine CC 4N=$hiCores cores, E/16", "ccE")
+    md ++= "\n"
+    strongEff.foreach(e => md ++=
+      f"- KERNEL STRONG efficiency N→4N (same input E) = $e%.3f (north_rule criterion: ≥0.8)%n")
+    strongEff14.foreach(e => md ++=
+      (f"- KERNEL STRONG efficiency 1→4 cores (same E/4 input) = $e%.3f —%n" +
+        "  the only 4× step on this box where NEITHER endpoint shares a\n" +
+        "  saturated DRAM bus; the cluster-faithful N→4N measurement\n"))
+    weakEff.foreach(e => md ++=
+      (f"- KERNEL WEAK efficiency (N on E/4 → 4N on E) = $e%.3f — single-box%n" +
+        "  floor note: 4× data through the SAME shared DRAM bus costs ≥4×\n" +
+        "  time, so local weak efficiency is bus-capped at ~0.25 by physics\n"))
+    weakEffUnsat.foreach(e => md ++=
+      (f"- KERNEL WEAK efficiency at the unsaturated pair (1 core on E/16 →%n" +
+        f"  4 cores on E/4) = $e%.3f — cores and data ×4 with neither endpoint%n" +
+        "  bus-capped: the cluster-growth regime this box can represent\n"))
+    engineStrongEff.foreach(e => md ++=
+      f"- ENGINE STRONG efficiency ($loCores→$hiCores on E/16) = $e%.3f (continuity row)%n")
+    kernelVsEngine.foreach(x => md ++=
+      f"- kernel vs engine PR at N=$loCores on E/16: $x%.1f× throughput;" +
+        S.get("kLoS").flatMap(k => S.get("eLoS").map(en =>
+          s" per-superstep barrier ${en.medBarrierMs} ms → ${k.medBarrierMs} ms")).getOrElse("") + "\n")
+    ccSpeedup.foreach(x => md ++=
+      (f"- FRONTIER (CC, to fixpoint) kernel vs engine at $hiCores cores on E/16:%n" +
+        f"  $x%.1f× faster end-to-end (" +
+        S.get("ccK").map(s => f"${s.loopSec}%.1f s/${s.iters} iters kernel").getOrElse("") +
+        S.get("ccE").map(s => f" vs ${s.loopSec}%.1f s/${s.iters} iters engine").getOrElse("") +
+        ") — the nonstationary SpMSpV mode\n"))
+    convOpt.foreach { case (it, sec, nr) => md ++=
+      (f"- iterations to convergence (per-vertex |Δrank| ≤ 1e-6): $it%n" +
+        f"  ($sec%.1f s end-to-end at $hiCores cores on a $nr-repo table)%n")
+    }
+    S.get("kHiE").foreach(s => md ++=
+      f"- partition balance: kernel hash(src) imbalance max/mean−1 = ${s.imbalance}%.3f; breached(>0.2)=${s.breached}%n")
+    if (shed.nonEmpty)
+      md ++= s"- shed to fit the wall-clock budget: ${shed.mkString(", ")}\n"
+    md ++= "\nSingle-box caveat: all \"executors\" are threads sharing one memory\n"
+    md ++= "bus inside one VM with host-level jitter. The kernel's superstep\n"
+    md ++= "barrier is ~20 ms (vs the engine's ~0.2-0.5 s of per-iteration\n"
+    md ++= "Catalyst planning + task launch), so the remaining sub-1.0 strong\n"
+    md ++= "efficiency is exchange memory bandwidth on the shared DRAM bus —\n"
+    md ++= "traffic a real cluster spreads across per-node memory and network.\n"
+    md ++= "Full methodology and efficiency-vs-size data: BASELINE.md.\n"
+    Files.writeString(Paths.get("BENCH.md"), md.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     // all f"..%.3f" below feed machine-parsed JSON — never let a
     // comma-decimal default locale near them
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    hiCores = cpus
+    loCores = math.max(2, cpus / 4)
 
     // ---- phase 1: headline query timings (skippable while iterating
     // on the scaling phase)
-    val results =
+    queryResults =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty[(String, Double)]
       else {
         val spark = session(cpus)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
+          val tq = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-          name -> (System.nanoTime() - t0) / 1e9
+          name -> (System.nanoTime() - tq) / 1e9
         }
         spark.stop()
         r
       }
+    // FLUSH the query-phase artifact before any scaling work: if the
+    // driver kills this process mid-phase-2, this line (and BENCH.json)
+    // is the round's record.
+    writeArtifacts()
+    println(Files.readString(Paths.get("BENCH.json")).trim)
 
     // ---- phase 2: scaling evidence, each sample in its own JVM.
-    //  strong: N vs 4N cores on the SAME parked input;
-    //  weak:   N cores on E/4 vs 4N cores on E (resources and data
-    //          scale together — the regime a real cluster grows in).
-    // Headline mode = the tile-compiled SpMV kernel (the production
-    // fixed-iteration PageRank path); one Engine pair rides along so
-    // the Catalyst path's scaling stays visible round-over-round.
-    val hi = cpus
-    val lo = math.max(2, cpus / 4)
     val iters = 10
     // 64M repos → ~461M edges: at kernel speeds the smaller tables are
-    // fixed-overhead-dominated (a superstep finishes in ~100-500 ms);
-    // the strong pair needs compute per core to dominate the ~20 ms
-    // barrier + exchange setup, which at 4N=32 needs E ≥ ~4·10^8.
+    // fixed-overhead-dominated; the strong pair needs compute per core
+    // to dominate the ~20 ms barrier, which at 4N=32 needs E ≥ ~4·10^8.
     val baseRepos = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPOS", "64000000").toLong
-    val quarterRepos = math.max(1L, baseRepos / 4)
+    val pMain = prepareEdges(cpus, baseRepos)
+    val pQuarter = prepareEdges(cpus, math.max(1L, baseRepos / 4))
+    val pSixteenth = prepareEdges(cpus, math.max(1L, baseRepos / 16))
     val convRepos = math.min(baseRepos, 1000000L)
-    val pMain = prepareEdges(hi, baseRepos)
-    val pQuarter = prepareEdges(hi, quarterRepos)
-    val pSixteenth = prepareEdges(hi, math.max(1L, baseRepos / 16))
-    val pConv = prepareEdges(hi, convRepos)
+    val pConv = prepareEdges(cpus, convRepos)
 
-    // kernel samples are compile-dominated (a 460M-edge compile is
-    // minutes), so the default is one sample per config; raise
-    // SPARK_GRAFT_BENCH_SAMPLES for quieter numbers when time allows
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "1").toInt
-    val sLo = prSampleBest(lo, pMain, iters, samples)
-    val sHi = prSampleBest(hi, pMain, iters, samples)
-    // efficiency-vs-cores CURVE on the quarter table (1/2/4/N cores):
-    // on one box every thread shares one DRAM bus, so the N→4N pair at
-    // high N measures bus contention, not the engine; the pairs at the
-    // UNSATURATED end (1→4, 2→8) are the regime a real cluster's
-    // executors (each with their own DRAM + NIC) live in.
-    val sLoQ = prSampleBest(lo, pQuarter, iters, samples)
-    val xlo = math.max(1, lo / 4)
-    val sXloQ = if (xlo < lo) Some(prSampleBest(xlo, pQuarter, iters, samples)) else None
-    val s1Q = if (xlo > 1) Some(prSampleBest(1, pQuarter, iters, samples)) else None
-    val s4Q = if (xlo > 1) Some(prSampleBest(4, pQuarter, iters, samples)) else None
-    // Engine (Catalyst) comparison pair on the quarter table, 1 sample
-    // each — the round-over-round continuity row.
-    val eLoQ = prSampleBest(lo, pQuarter, iters, k = 1, kernel = false)
-    val eHiQ = prSampleBest(hi, pQuarter, iters, k = 1, kernel = false)
-    val strongEff = sHi.tput / (sLo.tput * (hi.toDouble / lo))
-    val strongEffUnsat = sXloQ.map(s => sLoQ.tput / (s.tput * (lo.toDouble / xlo)))
-    val strongEff14 = for (s1 <- s1Q; s4 <- s4Q) yield s4.tput / (s1.tput * 4.0)
-    // weak at the UNSATURATED end: 1 core on E/16 → 4 cores on E/4 —
-    // the only single-box weak pair where neither endpoint is
-    // bandwidth-capped (4× data through the same bus otherwise floors
-    // weak efficiency at 0.25 regardless of the engine)
-    val s1S = if (xlo > 1) Some(prSampleBest(1, pSixteenth, iters, samples)) else None
-    val weakEffUnsat = for (s1 <- s1S; s4 <- s4Q) yield s4.tput / (s1.tput * 4.0)
-    // weak: throughput should grow with resources when data grows too;
-    // eff = tput(4N on 4E) / (4 · tput(N on E)) ≈ t(N,E) / t(4N,4E)
-    val weakEff = sHi.tput / (sLoQ.tput * (hi.toDouble / lo))
-    val engineStrongEff = eHiQ.tput / (eLoQ.tput * (hi.toDouble / lo))
-    val (convIters, convSec) = convergenceIters(hi, pConv)
+    var lastCost = 60.0
+    def take(key: String, required: Boolean)(body: => Sample): Unit = {
+      if (!required && remaining < lastCost * 1.3) {
+        shed += key
+        System.err.println(f"[bench] shedding optional sample $key (remaining $remaining%.0f s < ~${lastCost * 1.3}%.0f s)")
+      } else {
+        try {
+          val s = body
+          S(key) = s
+          lastCost = s.wallSec
+          System.err.println(f"[bench] sample $key done in ${s.wallSec}%.0f s (remaining $remaining%.0f s)")
+        } catch {
+          case e: Throwable =>
+            shed += s"$key(failed)"
+            System.err.println(s"[bench] sample $key FAILED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
+        }
+        writeArtifacts()
+      }
+    }
 
-    def row(label: String, s: Sample): String =
-      s"| $label | ${s.edges} | ${f"${s.loopSec}%.2f"} | ${f"${s.medianIterSec}%.3f"} | " +
-        f"${s.tput}%.0f | ${s.medBarrierMs} |"
-    val bench =
-      s"""# BENCH — measured (local-mode scaling evidence)
-         |
-         |PageRank, $iters supersteps, synthetic repo-link edge table
-         |(RepoCorpus seed=42 → EdgeExtraction → parked parquet, read
-         |back identically by every run). Each kernel config = best of
-         |$samples forked-JVM samples; throughput = E / median superstep
-         |sec (median over supersteps, min over samples — robust to
-         |warmup and host-VM jitter windows). "Executor" analog = local
-         |core; partitions = cores. Headline mode = the tile-compiled
-         |SpMV kernel (graph/SpmvKernel — the production fixed-iteration
-         |PageRank path: compile once, one 2-stage RDD job per
-         |superstep, packed-doubles exchange only); the Catalyst Engine
-         |pair rides along for round-over-round continuity. Phase split
-         |(gather/apply/barrier) comes from real per-stage task metrics
-         |(tools/PhaseListener — the reference TIMING=-DTIMING analog).
-         |
-         || config (SpMV kernel) | edges | loop sec | median iter sec | edges/sec/superstep | median barrier ms |
-         ||---|---|---|---|---|---|
-         |${s1Q.map(s => row("1 core, E/4", s) + "\n|").getOrElse("")}${sXloQ.map(s => row(s"${xlo} cores, E/4", s) + "\n|").getOrElse("")}${s4Q.map(s => row("4 cores, E/4", s) + "\n|").getOrElse("")}${row(s"N=$lo cores, E/4", sLoQ)}
-         |${row(s"N=$lo cores, E", sLo)}
-         |${row(s"4N=$hi cores, E", sHi)}
-         |
-         || config (Catalyst engine) | edges | loop sec | median iter sec | edges/sec/superstep | median barrier ms |
-         ||---|---|---|---|---|---|
-         |${row(s"N=$lo cores, E/4", eLoQ)}
-         |${row(s"4N=$hi cores, E/4", eHiQ)}
-         |
-         |- KERNEL STRONG efficiency N→4N (same input E) =
-         |  tput(4N)/(4·tput(N)) = ${f"$strongEff%.3f"} (north_rule criterion: ≥0.8)
-         |${strongEff14.map(e => f"- KERNEL STRONG efficiency 1→4 cores (same E/4 input) = $e%.3f —\n  the only 4× step on this box where NEITHER endpoint shares a\n  saturated DRAM bus; the cluster-faithful N→4N measurement\n").getOrElse("")}${strongEffUnsat.map(e => f"- KERNEL STRONG efficiency $xlo→$lo cores (same E/4 input) = $e%.3f —\n  the high endpoint already touches the bus ceiling (see curve)\n").getOrElse("")}- KERNEL WEAK efficiency (N on E/4 → 4N on E) = ${f"$weakEff%.3f"}
-         |  — single-box floor note: the kernel is exchange-bandwidth
-         |  bound, and 4× data through the SAME shared bus costs ≥4×
-         |  time, so local weak efficiency is bus-capped at ~0.25 by
-         |  physics; report it against that floor, not 1.0
-         |${(for (s1 <- s1S; e <- weakEffUnsat) yield f"- KERNEL WEAK efficiency at the unsaturated pair (1 core on E/16\n  [${s1.edges} edges, ${s1.medianIterSec}%.3f s/iter] → 4 cores on E/4) = $e%.3f —\n  cores and data ×4 with neither endpoint bus-capped: the\n  cluster-growth regime this box can actually represent\n").getOrElse("")}
-         |- ENGINE STRONG efficiency ($lo→$hi on E/4) = ${f"$engineStrongEff%.3f"}
-         |- kernel vs engine at N=$lo on E/4: ${f"${sLoQ.tput / eLoQ.tput}%.1f"}× throughput;
-         |  per-superstep barrier ${eLoQ.medBarrierMs} ms → ${sLoQ.medBarrierMs} ms
-         |- iterations to convergence (per-vertex |Δrank| ≤ 1e-6): $convIters
-         |  (${f"$convSec%.1f"} s end-to-end at $hi cores on a $convRepos-repo table)
-         |- partition balance: kernel hash(src) imbalance max/mean−1 =
-         |  ${f"${sHi.imbalance}%.3f"}; engine salted-CSR imbalance = ${f"${eHiQ.imbalance}%.3f"};
-         |  breached(>0.2)=${sHi.breached || eHiQ.breached}
-         |
-         |Single-box caveat: all "executors" are threads sharing one
-         |memory bus inside one VM with host-level jitter. The kernel's
-         |superstep barrier is ~20 ms (vs the engine's ~0.3-0.5 s of
-         |per-iteration Catalyst planning + task launch), so the
-         |remaining sub-1.0 strong efficiency is exchange memory
-         |bandwidth on the shared DRAM bus — traffic that a real
-         |cluster spreads across per-node memory and network. The weak
-         |row is the fairer cluster proxy (constant per-thread working
-         |set). Efficiency vs input size and full methodology:
-         |BASELINE.md.
-         |""".stripMargin
-    Files.writeString(Paths.get("BENCH.md"), bench)
+    // REQUIRED: the strong pair on the big table + the unsaturated 1→4
+    // pair (the minimum the round record needs). Everything after is
+    // optional and budget-gated, cheapest-first within priority.
+    take("kLoE", required = true)(prSampleBest(loCores, pMain, iters, samples))
+    take("kHiE", required = true)(prSampleBest(hiCores, pMain, iters, samples))
+    take("k1Q", required = true)(prSampleBest(1, pQuarter, iters, samples))
+    take("k4Q", required = true)(prSampleBest(4, pQuarter, iters, samples))
+    // frontier-algorithm pair: CC to fixpoint, kernel vs engine, on the
+    // 16th table (the engine loop at 460M edges would alone blow the
+    // budget — and the continuity signal only needs a trend)
+    lastCost = 120.0
+    take("ccK", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "cc"))
+    take("ccE", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "cc"))
+    // engine continuity pair + same-table kernel reference point
+    take("eLoS", required = false)(
+      prSampleBest(loCores, pSixteenth, iters, k = 1, kernel = false))
+    take("eHiS", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false))
+    take("kLoS", required = false)(prSampleBest(loCores, pSixteenth, iters, samples))
+    // weak-scaling endpoints
+    take("k1S", required = false)(prSampleBest(1, pSixteenth, iters, samples))
+    take("kLoQ", required = false)(prSampleBest(loCores, pQuarter, iters, samples))
+    // convergence criterion (engine, small table)
+    if (remaining > lastCost * 1.3) {
+      try {
+        val (ci, cs) = convergenceIters(cpus, pConv)
+        convOpt = Some((ci, cs, convRepos))
+      } catch { case e: Throwable => shed += "conv(failed)" }
+    } else shed += "conv"
+    writeArtifacts()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val scaling =
-      s"""{"mode":"kernel","cores_lo":$lo,"cores_hi":$hi,"edges":${sHi.edges},"edges_quarter":${sLoQ.edges},""" +
-        s""""tput_lo":${f"${sLo.tput}%.0f"},"tput_hi":${f"${sHi.tput}%.0f"},""" +
-        s""""tput_lo_quarter":${f"${sLoQ.tput}%.0f"},""" +
-        s""""strong_eff":${f"$strongEff%.3f"},"weak_eff":${f"$weakEff%.3f"},""" +
-        strongEffUnsat.map(e => s""""cores_xlo":$xlo,"strong_eff_unsat":${f"$e%.3f"},""").getOrElse("") +
-        strongEff14.map(e => s""""strong_eff_1_4":${f"$e%.3f"},""").getOrElse("") +
-        s1Q.map(s => s""""tput_1_quarter":${f"${s.tput}%.0f"},""").getOrElse("") +
-        s4Q.map(s => s""""tput_4_quarter":${f"${s.tput}%.0f"},""").getOrElse("") +
-        weakEffUnsat.map(e => s""""weak_eff_unsat":${f"$e%.3f"},""").getOrElse("") +
-        s""""engine_strong_eff":${f"$engineStrongEff%.3f"},""" +
-        s""""engine_tput_lo_quarter":${f"${eLoQ.tput}%.0f"},"engine_tput_hi_quarter":${f"${eHiQ.tput}%.0f"},""" +
-        s""""med_barrier_ms_hi":${sHi.medBarrierMs},"engine_med_barrier_ms_hi":${eHiQ.medBarrierMs},""" +
-        s""""gather_ms_hi":${sHi.gatherMs},"apply_ms_hi":${sHi.applyMs},"barrier_ms_hi":${sHi.barrierMs},""" +
-        s""""imbalance":${f"${sHi.imbalance}%.4f"},"balance_breached":${sHi.breached},""" +
-        s""""pr_iters_to_convergence":$convIters}"""
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","pr_edges_per_sec_per_superstep":${f"${sHi.tput}%.0f"},"scaling":$scaling}"""
     // The driver parses stdout; under sbt the [info] logger prefix
     // broke that in round 1 (BENCH_r01 parsed:null) — emit the line
     // bare (run/outputStrategy=StdoutOutput in build.sbt) AND park it
-    // in BENCH.json as the reliable artifact.
-    Files.writeString(Paths.get("BENCH.json"), json + "\n")
-    println(json)
+    // in BENCH.json as the reliable artifact. This is the final,
+    // scaling-complete line; the phase-1 flush above printed the same
+    // shape for the kill-mid-phase-2 case.
+    println(Files.readString(Paths.get("BENCH.json")).trim)
   }
 }

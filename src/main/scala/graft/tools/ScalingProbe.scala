@@ -87,9 +87,34 @@ object ScalingProbe {
     // reports the reference's TIMING split (scatter_gather/combine vs
     // apply vs barrier).
     val kernelMode = sys.env.getOrElse("PROBE_KERNEL", "1") != "0"
+    // PROBE_ALGO=cc → connected components to the fixpoint instead of
+    // fixed-iteration PageRank: the NONSTATIONARY (frontier/SpMSpV)
+    // benchmark — kernel bitset-frontier loop vs the Catalyst engine's
+    // frontier joins. Same undirected dedup shaping on both paths.
+    val algo = sys.env.getOrElse("PROBE_ALGO", "pr")
 
     val (mode, nV, nE, rIters, iterWalls, imbalance, pl) =
-      if (kernelMode) {
+      if (kernelMode && algo == "cc") {
+        val und = GraphShaping.shape(edges,
+          EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
+        val g = graft.graph.SpmvKernel.compile(und, parts)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=kernel-cc cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(
+          g.run(new CcKernelProgram, maxIters = 0))
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        ("kernel-cc", g.numVertices, g.numEdges, r.iterations,
+          r.metrics.map(_.wallMs), g.edgeImbalance, pl)
+      } else if (algo == "cc") {
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(
+          ConnectedComponents.run(edges.repartition(parts), parts))
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=engine-cc cores=$cores parts=$parts buildSec=$tBuild%.1f")
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        val nE = edges.count()
+        ("engine-cc", r.state.count(), nE, r.iterations,
+          r.metrics.map(_.wallMs), 0.0, pl)
+      } else if (kernelMode) {
         val g = graft.graph.SpmvKernel.compile(edges, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
         println(f"[probe] mode=kernel cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f " +
