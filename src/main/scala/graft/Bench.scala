@@ -184,14 +184,19 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer.empty[Sample]
     var lastErr: Throwable = null
     var tries = 0
-    while (results.size < k && tries < k + 1) {
+    // a retry after a failure is itself a full-cost fork — only spend
+    // it while the wall budget lasts
+    while (results.size < k && tries < k + 1 &&
+           (tries == 0 || remainingSec > 0)) {
       tries += 1
       try results += prSampleForked(cpus, edgePath, iters, kernel, algo)
       catch {
         case e: Throwable =>
           lastErr = e
+          // full message: for a dead fork it carries the cmd line and
+          // the probe's output tail — the only diagnostic that exists
           System.err.println(s"[bench] probe attempt $tries at $cpus cores failed: " +
-            e.getMessage.linesIterator.nextOption().getOrElse(""))
+            e.getMessage)
       }
     }
     if (results.isEmpty) throw lastErr
@@ -253,6 +258,13 @@ object Bench {
   }
 
   // ---- incremental artifact state ------------------------------------
+  /** Wall-clock deadline for the whole bench (set in main). Required
+    * samples launch while any budget remains; a blown budget sheds
+    * them too — an rc=0 artifact with a partial scaling block beats a
+    * driver-killed rc=124 with none (round-3 lesson). */
+  private var deadlineNs: Long = Long.MaxValue
+  private def remainingSec: Double = (deadlineNs - System.nanoTime()) / 1e9
+
   private val S = mutable.LinkedHashMap.empty[String, Sample]
   private var queryResults: Seq[(String, Double)] = Seq.empty
   private var convOpt: Option[(Int, Double, Long)] = None
@@ -400,27 +412,59 @@ object Bench {
     // comma-decimal default locale near them
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val t0 = System.nanoTime()
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
-    def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
+    // 2400 s fits phase 1 + the four required samples (~2100 s measured
+    // with one 460M-edge compile per strong-pair fork) inside the
+    // driver's ~1 h wall allowance with headroom for one failed-fork
+    // retry; round 3's 1500 s default pretended the required set was
+    // cheaper than it is and the overrun got the process killed.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+    deadlineNs = t0 + (budgetSec * 1e9).toLong
+    def remaining: Double = remainingSec
     sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     hiCores = cpus
     loCores = math.max(2, cpus / 4)
 
-    // ---- phase 1: headline query timings (skippable while iterating
-    // on the scaling phase)
+    // ---- phase 1: headline query timings, in a FORKED JVM: running
+    // 36 queries in-process left the parent holding a ~dozens-of-GB
+    // heap while it forked the first 48g scaling probe — the host
+    // killed that child (round-4 kLoE failure). The parent now never
+    // builds a SparkSession at all.
+    if (args.headOption.contains("--queries-child")) {
+      val spark = session(cpus)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val tq = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        name -> (System.nanoTime() - tq) / 1e9
+      }
+      spark.stop()
+      println("[queries-json] " +
+        r.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}"))
+      return
+    }
     queryResults =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty[(String, Double)]
       else {
-        val spark = session(cpus)
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val tq = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-          name -> (System.nanoTime() - tq) / 1e9
+        val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "48g")
+        val java = sys.props("java.home") + "/bin/java"
+        val cmd = Seq(java) ++ addOpens ++ Seq(
+          s"-Xmx$xmx", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", childClasspath, "graft.Bench", "--queries-child")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        out.linesIterator.filter(_.startsWith("[queries-json]")).toSeq.lastOption match {
+          case Some(line) =>
+            """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
+              .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          case None =>
+            System.err.println("[bench] query-phase fork produced no summary; output tail:\n" +
+              out.linesIterator.toSeq.takeRight(20).mkString("\n"))
+            Seq.empty
         }
-        spark.stop()
-        r
       }
     // FLUSH the query-phase artifact before any scaling work: if the
     // driver kills this process mid-phase-2, this line (and BENCH.json)
@@ -443,9 +487,12 @@ object Bench {
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "1").toInt
     var lastCost = 60.0
     def take(key: String, required: Boolean)(body: => Sample): Unit = {
-      if (!required && remaining < lastCost * 1.3) {
+      // required samples launch while ANY budget remains (their value
+      // justifies finishing an in-flight overrun); optional ones only
+      // when the projected cost still fits
+      if ((required && remaining <= 0) || (!required && remaining < lastCost * 1.3)) {
         shed += key
-        System.err.println(f"[bench] shedding optional sample $key (remaining $remaining%.0f s < ~${lastCost * 1.3}%.0f s)")
+        System.err.println(f"[bench] shedding ${if (required) "required" else "optional"} sample $key (remaining $remaining%.0f s, ~cost ${lastCost * 1.3}%.0f s)")
       } else {
         try {
           val s = body
@@ -461,13 +508,15 @@ object Bench {
       }
     }
 
-    // REQUIRED: the strong pair on the big table + the unsaturated 1→4
-    // pair (the minimum the round record needs). Everything after is
-    // optional and budget-gated, cheapest-first within priority.
-    take("kLoE", required = true)(prSampleBest(loCores, pMain, iters, samples))
-    take("kHiE", required = true)(prSampleBest(hiCores, pMain, iters, samples))
+    // REQUIRED: the unsaturated 1→4 pair + the strong pair on the big
+    // table (the minimum the round record needs) — CHEAPEST FIRST, so
+    // a slow or failing big-table fork can never starve the record of
+    // the pair that fits. Everything after is optional and
+    // budget-gated, cheapest-first within priority.
     take("k1Q", required = true)(prSampleBest(1, pQuarter, iters, samples))
     take("k4Q", required = true)(prSampleBest(4, pQuarter, iters, samples))
+    take("kHiE", required = true)(prSampleBest(hiCores, pMain, iters, samples))
+    take("kLoE", required = true)(prSampleBest(loCores, pMain, iters, samples))
     // frontier-algorithm pair: CC to fixpoint, kernel vs engine, on the
     // 16th table (the engine loop at 460M edges would alone blow the
     // budget — and the continuity signal only needs a trend)

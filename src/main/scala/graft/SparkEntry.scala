@@ -157,6 +157,21 @@ object SparkEntry {
       r.state.filter(col("dist").isNotNull)
         .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
     }),
+    "q_ssspw_kernel" -> ((s, d) => {
+      // WEIGHTED relax (msg + w, the kernel's AddW opcode over the
+      // compiled tiles' weight arrays — the reference's -DHAS_WEIGHT
+      // build, sssp.h:49-66) on the frontier mode, same edge table and
+      // oracle as the Catalyst q_sssp_weighted
+      val e = read(s, d, "lineitem").select(
+        (col("l_orderkey") % 1000).as("src"),
+        (col("l_partkey") % 1000).as("dst"),
+        (lit(1.0) + (col("l_linenumber") % 5).cast("double")).as("w"))
+      val g = graph.SpmvKernel.compile(e, graphParts(s, e))
+      val r = g.run(new SsspKernelProgram(0L), maxIters = 0)
+      g.unpersist()
+      r.state.filter(col("dist").isNotNull)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n")).orderBy(asc("dist"))
+    }),
     "q_degree_kernel" -> ((s, d) => {
       // the kernel's degree mode: ONE superstep with messenger ≡ 1 and
       // sum combine (reference Deg_Program, deg.h:32-52) — checked
@@ -674,6 +689,7 @@ object SparkEntry {
     "q_cc_kernel" -> ccSizesSql,
     "q_bfs_kernel" -> bfsDepthsSql,
     "q_sssp_kernel" -> ssspSql,
+    "q_ssspw_kernel" -> ssspWeightedSql,
     "q_degree_kernel" ->
       s"WITH e AS ($edgesSql) SELECT dst AS vid, COUNT(*) AS degree FROM e GROUP BY dst",
     "q_bfs_depths" -> bfsDepthsSql,

@@ -87,6 +87,19 @@ object KernelProgram {
   /** combine(msg + w) — SSSP relax (sssp.h:49-52); w ≡ 1 on an
     * unweighted compile reproduces the reference's hop fallback. */
   case object AddW extends EdgeOp
+
+  /** Programs that carry a VERTEX ID through double-typed messages
+    * (CC labels, BFS parents) are exact only below 2^53; a larger vid
+    * would silently round to a neighboring id and corrupt the answer
+    * (e.g. two dedup clusters merging). Checked once per vertex at
+    * init — free next to the edge loop. */
+  private[graph] final val MaxExactVid = 1L << 53
+  private[graph] def checkExactVid(vid: Long, program: String): Unit =
+    if (vid >= MaxExactVid || vid < 0)
+      throw new IllegalArgumentException(
+        s"$program kernel carries vertex ids in double-typed messages, " +
+          s"exact only for 0 <= vid < 2^53; got $vid. " +
+          "Re-key the vertex ids (e.g. dense-rank them) first.")
 }
 
 /** PageRank on the kernel — identical math to the Catalyst
@@ -125,6 +138,7 @@ final class CcKernelProgram extends KernelProgram {
   val combineOp = KernelProgram.Min
   val edgeOp = KernelProgram.MsgOnly
   def init(vid: Long, values: Array[Double], base: Int): Boolean = {
+    KernelProgram.checkExactVid(vid, name)
     values(base) = vid.toDouble; true
   }
   def message(vid: Long, values: Array[Double], base: Int, invDeg: Double): Double =
@@ -145,9 +159,11 @@ final class BfsKernelProgram(root: Long) extends KernelProgram {
   val columns = Seq("parent", "hops")
   val combineOp = KernelProgram.Min
   val edgeOp = KernelProgram.MsgOnly
-  def init(vid: Long, values: Array[Double], base: Int): Boolean =
+  def init(vid: Long, values: Array[Double], base: Int): Boolean = {
+    KernelProgram.checkExactVid(vid, name)
     if (vid == root) { values(base) = vid.toDouble; values(base + 1) = 0.0; true }
     else { values(base) = Double.NaN; values(base + 1) = Double.NaN; false }
+  }
   def message(vid: Long, values: Array[Double], base: Int, invDeg: Double): Double =
     vid.toDouble
   def apply(values: Array[Double], base: Int, y: Double, iter: Int): Boolean = {

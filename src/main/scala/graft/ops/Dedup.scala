@@ -183,19 +183,37 @@ object Dedup {
     * connected components over the pair graph, canonical id = min doc
     * id per cluster — the standard "keep one representative per
     * duplicate cluster" step, computed with the graph engine itself
-    * (graft.algos.ConnectedComponents, exact min-label semantics).
-    * Returns (doc_id, canonical_id); docs absent from any pair are
-    * their own canonical. */
-  def duplicateClusters(pairs: DataFrame, parts: Int): DataFrame = {
+    * (exact min-label semantics). Returns (doc_id, canonical_id); docs
+    * absent from any pair are their own canonical.
+    *
+    * `kernel = true` (default) runs the CC loop on the tile-compiled
+    * SpMSpV fast path (graph/SpmvKernel — the two CC engines are
+    * proven hash-identical, KernelSpec/q_cc_kernel): at 100 TB the
+    * dedup clustering step IS a frontier graph job, and the kernel's
+    * per-superstep cost is a compiled tile loop + one packed exchange
+    * instead of a Catalyst re-plan per iteration. `kernel = false`
+    * keeps the DataFrame engine (graft.algos.ConnectedComponents). */
+  def duplicateClusters(pairs: DataFrame, parts: Int,
+                        kernel: Boolean = true): DataFrame = {
     // materialize the candidate pairs once — CC's shaping + adjacency
     // build would otherwise re-execute the pair pipeline per action
     // (when `pairs` comes from minhashCandidates it is already an
     // eager localCheckpoint, so this copy is a cheap block read)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
-    val state = graft.algos.ConnectedComponents.run(edges, parts).state
-    // CC's returned state is an EAGER localCheckpoint (materialized),
-    // so the pair-edge blocks are never read again — free them now
+    val state =
+      if (kernel) {
+        // same undirected shaping ConnectedComponents.run applies
+        val und = graft.graph.GraphShaping.shape(edges,
+          graft.graph.EdgeShaping(directed = false, parallelEdges = false))
+          .select("src", "dst")
+        val g = graft.graph.SpmvKernel.compile(und, parts)
+        val r = g.run(new graft.graph.CcKernelProgram, maxIters = 0)
+        g.unpersist()
+        r.state.select(col("vid"), col("label").cast("long").as("label"))
+      } else graft.algos.ConnectedComponents.run(edges, parts).state
+    // both engines return an EAGER localCheckpoint (materialized), so
+    // the pair-edge blocks are never read again — free them now
     // instead of leaking one block set per invocation.
     graft.graph.Engine.release(edges)
     state.select(col("vid").as("doc_id"), col("label").as("canonical_id"))

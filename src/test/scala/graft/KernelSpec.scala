@@ -193,4 +193,19 @@ class KernelSpec extends SparkTestBase {
     assert(g.edgeImbalance >= 0.0)
     g.unpersist()
   }
+
+  test("vid-in-message programs fail fast above 2^53 instead of rounding") {
+    // CC labels (and BFS parents) ride double-typed messages — a vid
+    // at 2^53 would silently round onto a neighboring id and merge
+    // unrelated clusters; the programs reject it at init
+    val big = (1L << 53) + 1L
+    val g = SpmvKernel.compile(edgesDF(Seq((big, 1L), (1L, 2L))), parts)
+    try {
+      val e = intercept[Exception](g.run(new CcKernelProgram, maxIters = 0))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("exact only for 0 <= vid < 2^53")),
+        s"unexpected failure: ${msgs(e).mkString(" | ")}")
+    } finally g.unpersist()
+  }
 }

@@ -46,9 +46,16 @@ class DedupSpec extends SparkTestBase {
   test("duplicate clusters: CC over candidate pairs, canonical = min id") {
     val s = spark; import s.implicits._
     val pairs = Seq((1L, 2L), (2L, 7L), (5L, 9L)).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L)
+    // default = the tile-compiled kernel CC; the Catalyst engine path
+    // must produce the identical clustering (the two CC engines are
+    // hash-identical — this guards the duplicateClusters plumbing)
     val got = Dedup.duplicateClusters(pairs, parts).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L))
+    assert(got == want)
+    val gotEngine = Dedup.duplicateClusters(pairs, parts, kernel = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotEngine == want, "Catalyst-engine clustering diverged from the kernel path")
   }
 
   test("LSH self-join reads the persisted bucket frame on both sides") {
