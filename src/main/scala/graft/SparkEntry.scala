@@ -191,6 +191,15 @@ object SparkEntry {
       r.state.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("label")).limit(20)
     }),
+    "q_lpa_kernel" -> ((s, d) => {
+      // frequency LPA on the compiled tiles (SpmvKernel.lpa — the mode
+      // combiner's label-count triple exchange) vs the SAME unrolled
+      // DuckDB oracle as the Catalyst q_lpa: both paths hash-identical
+      val e = edges(s, d)
+      val r = LabelPropagation.runKernel(e, graphParts(s, e), maxIters = 5)
+      r.state.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("label")).limit(20)
+    }),
     "q_bfs_depths" -> ((s, d) => {
       val e = edges(s, d)
       val r = Traversal.bfs(e, root = 0L, graphParts(s, e))
@@ -695,6 +704,7 @@ object SparkEntry {
     "q_bfs_depths" -> bfsDepthsSql,
     "q_sssp" -> ssspSql,
     "q_lpa" -> lpaSql(5),
+    "q_lpa_kernel" -> lpaSql(5),
     "q_pagerank_top" -> pagerankSql(20),
     "q_pagerank_kernel" -> pagerankSql(20),
     "q_checksum" ->

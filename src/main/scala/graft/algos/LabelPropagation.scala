@@ -29,6 +29,24 @@ object LabelPropagation {
     runOnAdjacency(adj, maxIters, ckpt)
   }
 
+  /** The same LPA on the tile-compiled kernel fast path
+    * (SpmvKernel CompiledGraph.lpa — label-count triple exchange +
+    * open-addressing mode merge): identical labels, iteration counts
+    * and tie-break as `run` (KernelSpec parity), at kernel superstep
+    * cost. The state schema matches run()'s (label LONG). */
+  def runKernel(edges: DataFrame, parts: Int, maxIters: Int = 10,
+                ckpt: Option[CheckpointManager] = None): RunResult = {
+    val und = GraphShaping.shape(edges,
+      EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+      .select("src", "dst")
+    val g = SpmvKernel.compile(und, parts)
+    val r = g.lpa(maxIters, ckpt = ckpt)
+    g.unpersist()
+    RunResult(
+      r.state.select(col("vid"), col("label").cast("long").as("label"), col("changed")),
+      r.iterations, r.metrics)
+  }
+
   /** `ckpt` gives LPA the same durable resume contract as the Engine
     * loop (Engine.runLoop / north_rule resumability for the 4th algo):
     * resume from the latest complete snapshot, save every `ckpt.every`

@@ -185,6 +185,9 @@ object SpmvKernel {
   // pack formats for the per-tile accumulator exchange
   private final val FmtDense = 0
   private final val FmtSparse = 1
+  // LPA label-count triples (dstLocal, label, count) — the mode
+  // combiner's partial aggregate, which is a multiset not a scalar
+  private final val FmtLabels = 2
 
   /** Per-row edge-combine into a dense accumulator — the specialized
     * inner loops (one per combiner × edge-op × weightedness) the
@@ -293,11 +296,12 @@ object SpmvKernel {
     /** Re-slot a saved state frame into the kernel's partition layout —
       * the resume half of the checkpoint contract. Nulls become NaN;
       * a missing `changed` column means all-active (only legacy
-      * pagerank snapshots, a stationary program, lack it). */
-    private def stateFromDF(program: KernelProgram, df: DataFrame): RDD[PartState] = {
+      * pagerank snapshots, a stationary program, lack it). Takes the
+      * raw state shape (width, column names) so non-scalar programs
+      * (the LPA mode) share the same resume path. */
+    private def stateFromDF(width: Int, stateCols: Seq[String], df: DataFrame): RDD[PartState] = {
       val hp = new HashPartitioner(parts)
-      val width = program.width
-      val cols = "vid" +: program.columns
+      val cols = "vid" +: stateCols
       val hasChanged = df.columns.contains("changed")
       val sel = if (hasChanged) cols :+ "changed" else cols
       val keyed = df.selectExpr(sel: _*).queryExecution.toRdd
@@ -331,11 +335,10 @@ object SpmvKernel {
     }
 
     /** Export a state RDD as (vid, columns…, changed) with NaN → null. */
-    private def stateDF(program: KernelProgram, state: RDD[PartState]): DataFrame = {
-      val width = program.width
+    private def stateDF(width: Int, stateCols: Seq[String], state: RDD[PartState]): DataFrame = {
       val schema = StructType(
         StructField("vid", LongType, nullable = false) +:
-          program.columns.map(c => StructField(c, DoubleType, nullable = true)) :+
+          stateCols.map(c => StructField(c, DoubleType, nullable = true)) :+
           StructField("changed", BooleanType, nullable = false))
       val rows = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
         val kp = kIt.next(); val ps = sIt.next()
@@ -386,7 +389,7 @@ object SpmvKernel {
 
       val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
       var state: RDD[PartState] = resumed
-        .map { case (_, df) => stateFromDF(program, df) }
+        .map { case (_, df) => stateFromDF(width, program.columns, df) }
         .getOrElse(kernel.map { kp =>
           val n = kp.vids.length
           val values = new Array[Double](n * width)
@@ -580,10 +583,10 @@ object SpmvKernel {
         metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, frontier)
         ckpt.foreach { c =>
           if (c.shouldCheckpoint(iter))
-            c.save(s"${program.name}-kernel", iter, stateDF(program, state), metrics.toSeq)
+            c.save(s"${program.name}-kernel", iter, stateDF(width, program.columns, state), metrics.toSeq)
         }
       }
-      ckpt.foreach(c => c.save(s"${program.name}-kernel", iter, stateDF(program, state), metrics.toSeq))
+      ckpt.foreach(c => c.save(s"${program.name}-kernel", iter, stateDF(width, program.columns, state), metrics.toSeq))
 
       // deterministic checksum: per-partition sums folded in partition
       // order (first state column, NaN skipped)
@@ -604,7 +607,170 @@ object SpmvKernel {
       // the returned frame never depends on kernel/state lineage, so
       // the caller may unpersist() the CompiledGraph in any order.
       // Release the result itself with Engine.release(result.state).
-      val df = stateDF(program, state).localCheckpoint(true)
+      val df = stateDF(width, program.columns, state).localCheckpoint(true)
+      state.unpersist(false)
+      if (prev != null) prev.unpersist(false)
+      KernelResult(df, iter, metrics.toSeq, checksum)
+    }
+
+    /** Frequency-based label propagation on the compiled tiles — the
+      * north_rule's fourth algorithm on the kernel fast path. LPA's
+      * mode combiner is a MULTISET aggregate, not a scalar, so it does
+      * not fit the KernelProgram Sum/Min contract; it gets its own
+      * stage pair over the same tiles:
+      *
+      *  - stage 1 pre-aggregates each tile into (dstLocal, label,
+      *    count) triples — the analog of Catalyst's map-side partial
+      *    count (and the only thing the exchange ships: 16 B per
+      *    distinct (dst,label), ≤ 16·E bytes, usually far less once
+      *    labels coalesce);
+      *  - stage 2 merges counts per (vertex, label) in a reusable
+      *    open-addressing map and arg-maxes with the SAME
+      *    deterministic tie-break as algos.LabelPropagation (max
+      *    count, then min label) — the two paths are proven
+      *    label-identical (KernelSpec). Counts are integers and label
+      *    ids exact below 2^53 (checked at init), so the result is
+      *    bit-reproducible regardless of tile arrival order.
+      *
+      * Semantics match the Catalyst loop exactly: EVERY vertex
+      * messages every superstep (the mode must see ALL neighbors, so
+      * LPA is stationary — no frontier skip is sound), a vertex with
+      * no in-messages keeps its label, and the loop stops when no
+      * label changed or at `maxIters`. Compile the UNDIRECTED deduped
+      * shape first (GraphShaping — algos.LabelPropagation.run's
+      * shaping), or use LabelPropagation.runKernel which does both. */
+    def lpa(maxIters: Int, lineageTruncateEvery: Int = 20,
+            ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult = {
+      val P = parts
+      val cols = Seq("label")
+      val metrics = ArrayBuffer.empty[IterMetrics]
+      val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+      var state: RDD[PartState] = resumed
+        .map { case (_, df) => stateFromDF(1, cols, df) }
+        .getOrElse(kernel.map { kp =>
+          val n = kp.vids.length
+          val values = new Array[Double](n)
+          val bits = new Array[Long]((n + 63) >>> 6)
+          var i = 0
+          while (i < n) {
+            KernelProgram.checkExactVid(kp.vids(i), "lpa")
+            values(i) = kp.vids(i).toDouble
+            bits(i >>> 6) |= 1L << (i & 63)
+            i += 1
+          }
+          PartState(values, bits, n.toLong)
+        })
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var active = sc.runJob(state, (it: Iterator[PartState]) => it.next().changed).sum
+      var prev: RDD[PartState] = null
+      var iter = resumed.map(_._1).getOrElse(0)
+
+      while (active > 0 && iter < maxIters) {
+        val t0 = System.nanoTime()
+        val msgs: RDD[((Int, Int), Array[Byte])] =
+          kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
+            val kp = kIt.next(); val ps = sIt.next()
+            val p = TaskContext.getPartitionId()
+            val labels = ps.values
+            Iterator.range(0, P).flatMap { q =>
+              val t = kp.tiles(q)
+              if (t == null) Iterator.empty
+              else Iterator.single(((q, p), packLabelCounts(t, labels)))
+            }
+          }
+        val shuffled = msgs.repartitionAndSortWithinPartitions(tilePart)
+        val newState = shuffled.zipPartitions(kernel, state,
+          preservesPartitioning = false) { (mIt, kIt, sIt) =>
+          val kp = kIt.next(); val old = sIt.next()
+          val n = kp.vids.length
+          // final-combine input: the translated (slot, label, count)
+          // triples of every incoming tile — bounded by this
+          // partition's in-edge count after per-tile dedup, the same
+          // bound as the Catalyst count aggregate's map output here
+          val slotB = new scala.collection.mutable.ArrayBuilder.ofInt
+          val labB = new scala.collection.mutable.ArrayBuilder.ofDouble
+          val cntB = new scala.collection.mutable.ArrayBuilder.ofInt
+          mIt.foreach { case ((_, p), bytes) =>
+            val slots = kp.inSlots(p)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val ne = bb.getInt(4)
+            bb.position(8)
+            val ib = bb.asIntBuffer()
+            bb.position(8 + 4 * ne)
+            val db = bb.asDoubleBuffer()
+            bb.position(8 + 12 * ne)
+            val cb = bb.asIntBuffer()
+            var t = 0
+            while (t < ne) {
+              slotB += slots(ib.get(t)); labB += db.get(t); cntB += cb.get(t)
+              t += 1
+            }
+          }
+          val sl = slotB.result(); val lb = labB.result(); val cn = cntB.result()
+          val m = sl.length
+          // group triples by state slot (one primitive long sort), then
+          // merge counts per label and arg-max — slots with no triples
+          // keep their label, exactly like the Engine's left-outer apply
+          val order = new Array[Long](m)
+          var k = 0
+          while (k < m) { order(k) = (sl(k).toLong << 32) | k; k += 1 }
+          java.util.Arrays.sort(order)
+          val nv = old.values.clone()
+          val bits = new Array[Long]((n + 63) >>> 6)
+          var changed = 0L
+          val counter = new LabelCounter
+          var t = 0
+          while (t < m) {
+            val slot = (order(t) >>> 32).toInt
+            counter.reset()
+            while (t < m && (order(t) >>> 32).toInt == slot) {
+              val i = order(t).toInt
+              counter.add(lb(i), cn(i))
+              t += 1
+            }
+            val best = counter.argmax()
+            if (best != nv(slot)) {
+              nv(slot) = best
+              bits(slot >>> 6) |= 1L << (slot & 63)
+              changed += 1
+            }
+          }
+          Iterator.single(PartState(nv, bits, changed))
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if (lineageTruncateEvery > 0 && (iter + 1) % lineageTruncateEvery == 0)
+          newState.localCheckpoint()
+        sc.setJobGroup(s"graft-superstep-$iter", s"lpa superstep $iter",
+          interruptOnCancel = false)
+        val partChanged =
+          try sc.runJob(newState, (it: Iterator[PartState]) => it.next().changed)
+          finally sc.clearJobGroup()
+        active = partChanged.sum
+        if (prev != null) prev.unpersist(false)
+        prev = state
+        state = newState
+        iter += 1
+        metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, numVertices)
+        ckpt.foreach { c =>
+          if (c.shouldCheckpoint(iter))
+            c.save("lpa-kernel", iter, stateDF(1, cols, state), metrics.toSeq)
+        }
+      }
+      ckpt.foreach(c => c.save("lpa-kernel", iter, stateDF(1, cols, state), metrics.toSeq))
+
+      val partSums = sc.runJob(state, (it: Iterator[PartState]) => {
+        val ps = it.next()
+        var s = 0.0
+        var i = 0
+        while (i < ps.values.length) {
+          val v = ps.values(i)
+          if (!v.isNaN) s += v
+          i += 1
+        }
+        s
+      })
+      val checksum = partSums.foldLeft(0.0)(_ + _)
+      val df = stateDF(1, cols, state).localCheckpoint(true)
       state.unpersist(false)
       if (prev != null) prev.unpersist(false)
       KernelResult(df, iter, metrics.toSeq, checksum)
@@ -702,6 +868,130 @@ object SpmvKernel {
     bb.position(8 + 4 * nnz)
     bb.asDoubleBuffer().put(outV, 0, nnz)
     bytes
+  }
+
+  /** Stage-1 LPA tile pass: count labels per destination — sort the
+    * tile's (dstLocal, edge) pairs (one primitive long sort, same
+    * trick as packSparseAssembled), then per-destination sort the
+    * label values and run-length encode. Output: (dstLocal:int,
+    * label:double, count:int) triples packed as FmtLabels — the
+    * tile-level partial count (Catalyst's map-side combine analog)
+    * that the exchange ships. */
+  private def packLabelCounts(t: Tile, labels: Array[Double]): Array[Byte] = {
+    val srcSlots = t.srcSlots; val offsets = t.offsets; val dstLocal = t.dstLocal
+    val n = t.nEdges
+    val order = new Array[Long](n)
+    val labs = new Array[Double](n)
+    var k = 0
+    var i = 0
+    while (i < srcSlots.length) {
+      val lab = labels(srcSlots(i))
+      var e = offsets(i); val end = offsets(i + 1)
+      while (e < end) {
+        order(k) = (dstLocal(e).toLong << 32) | k
+        labs(k) = lab
+        k += 1; e += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(order)
+    val outD = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outL = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val outC = new scala.collection.mutable.ArrayBuilder.ofInt
+    val scratch = new Array[Double](n)
+    var nnz = 0
+    var t2 = 0
+    while (t2 < n) {
+      val d = (order(t2) >>> 32).toInt
+      var len = 0
+      while (t2 < n && (order(t2) >>> 32).toInt == d) {
+        scratch(len) = labs(order(t2).toInt)
+        len += 1; t2 += 1
+      }
+      java.util.Arrays.sort(scratch, 0, len)
+      var j = 0
+      while (j < len) {
+        val lab = scratch(j)
+        var c = 1
+        j += 1
+        while (j < len && scratch(j) == lab) { c += 1; j += 1 }
+        outD += d; outL += lab; outC += c; nnz += 1
+      }
+    }
+    val dd = outD.result(); val ll = outL.result(); val cc = outC.result()
+    val bytes = new Array[Byte](8 + 16 * nnz)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(0, FmtLabels); bb.putInt(4, nnz)
+    bb.position(8)
+    bb.asIntBuffer().put(dd, 0, nnz)
+    bb.position(8 + 4 * nnz)
+    bb.asDoubleBuffer().put(ll, 0, nnz)
+    bb.position(8 + 12 * nnz)
+    bb.asIntBuffer().put(cc, 0, nnz)
+    bytes
+  }
+
+  /** Reusable open-addressing label→count map for the LPA mode's
+    * final combine. Labels are keyed by raw double bits — LPA labels
+    * are non-negative vertex ids, whose IEEE bit pattern is
+    * order-isomorphic to the value, so the bit-level `<` in argmax IS
+    * the label `<`. reset() is O(1) via an epoch stamp; argmax ties
+    * break toward the SMALLEST label — identical to
+    * algos.LabelPropagation's max(struct(cnt, -label)). */
+  private final class LabelCounter {
+    private var cap = 256
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var cnts = new Array[Long](cap)
+    private var stamp = new Array[Int](cap)
+    private var usedIdx = new Array[Int](cap)
+    private var epoch = 0
+    private var size = 0
+    def reset(): Unit = { epoch += 1; size = 0 }
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    private def put(k: Long, c: Long): Unit = {
+      var i = idx(k)
+      while (stamp(i) == epoch && keys(i) != k) i = (i + 1) & mask
+      if (stamp(i) != epoch) {
+        keys(i) = k; cnts(i) = 0L; stamp(i) = epoch
+        usedIdx(size) = i; size += 1
+      }
+      cnts(i) += c
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oc = cnts; val ou = usedIdx; val oldSize = size
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); cnts = new Array[Long](cap)
+      stamp = new Array[Int](cap); usedIdx = new Array[Int](cap)
+      size = 0
+      var j = 0
+      while (j < oldSize) {
+        val i = ou(j)
+        put(ok(i), oc(i))
+        j += 1
+      }
+    }
+    def add(label: Double, count: Int): Unit = {
+      if (size * 3 >= cap * 2) grow()
+      put(java.lang.Double.doubleToRawLongBits(label), count.toLong)
+    }
+    /** Scans only this epoch's entries (the used list), not the table. */
+    def argmax(): Double = {
+      var bestCnt = -1L
+      var bestKey = 0L
+      var j = 0
+      while (j < size) {
+        val i = usedIdx(j)
+        val c = cnts(i); val k = keys(i)
+        if (c > bestCnt || (c == bestCnt && k < bestKey)) { bestCnt = c; bestKey = k }
+        j += 1
+      }
+      java.lang.Double.longBitsToDouble(bestKey)
+    }
   }
 
   /** Compile an edge table (src, dst[, w]) into the tiled kernel form.

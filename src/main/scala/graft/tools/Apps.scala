@@ -48,7 +48,7 @@ object Apps {
       .orderBy(desc("v"), asc("vid")).limit(5)
       .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
 
-  /** `kernel=true` routes pr/deg/cc/bfs/sssp through the tile-compiled
+  /** `kernel=true` routes pr/deg/cc/bfs/sssp/lpa through the tile-compiled
     * SpmvKernel (graph/SpmvKernel) instead of the Catalyst Engine —
     * identical results (KernelSpec/AppsSpec parity), reference-style
     * single-binary semantics: the reference runs its whole app family
@@ -102,6 +102,20 @@ object Apps {
         val reached = r.state.filter(col("dist").isNotNull)
         Summary("sssp", r.iterations, cks(reached, "dist"),
           Some(reached.count()), sec, topOf(reached, "dist"), Some(r.state), "dist")
+      case "lpa" if kernel =>
+        val r = graft.algos.LabelPropagation.runKernel(edges, parts,
+          maxIters = if (iters > 0) iters else 10)
+        val st = r.state.select(col("vid"), col("label"))
+        Summary("lpa", r.iterations, cks(st, "label"),
+          Some(st.select("label").distinct().count()), sec,
+          topOf(st, "label"), Some(st), "label")
+      case "lpa" =>
+        val r = graft.algos.LabelPropagation.run(edges, parts,
+          maxIters = if (iters > 0) iters else 10)
+        val st = r.state.select(col("vid"), col("label"))
+        Summary("lpa", r.iterations, cks(st, "label"),
+          Some(st.select("label").distinct().count()), sec,
+          topOf(st, "label"), Some(st), "label")
       case "pr" =>
         val adj = Adjacency.build(edges, parts)
         val r = PageRank.run(adj, maxIters = if (iters > 0) iters else 20)
@@ -129,13 +143,13 @@ object Apps {
         val n = TriangleCount.count(edges, parts)
         Summary("tc", 1, n.toDouble, None, sec, Seq.empty)
       case other =>
-        sys.error(s"unknown app '$other' (pr|deg|cc|bfs|sssp|tc)")
+        sys.error(s"unknown app '$other' (pr|deg|cc|bfs|sssp|tc|lpa)")
     }
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("Usage: Apps <pr|deg|cc|bfs|sssp|tc> <file> " +
+      System.err.println("Usage: Apps <pr|deg|cc|bfs|sssp|tc|lpa> <file> " +
         "[<num_vertices>] [<num_iterations>] [root=N] [weighted=true|false] " +
         "[cores=N] [kernel=true|false]")
       sys.exit(1)

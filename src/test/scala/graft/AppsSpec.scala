@@ -76,5 +76,14 @@ class AppsSpec extends SparkTestBase {
     val sp = Apps.run(spark, "sssp", s"$dir/g.txt", iters = 0, root = 0, parts,
       weighted = false, kernel = true)
     assert(sp.reachable.contains(4L) && sp.checksum == 0 + 1 + 3 + 4)
+
+    // lpa: the undirected path 0-1-2-3 plus pair 8-9; both paths must
+    // agree checksum-for-checksum and in distinct-label count
+    val lpaK = Apps.run(spark, "lpa", s"$dir/g.txt", iters = 5, root = 0, parts,
+      weighted = false, kernel = true)
+    val lpaE = Apps.run(spark, "lpa", s"$dir/g.txt", iters = 5, root = 0, parts,
+      weighted = false)
+    assert(lpaK.checksum == lpaE.checksum && lpaK.reachable == lpaE.reachable
+      && lpaK.iterations == lpaE.iterations)
   }
 }

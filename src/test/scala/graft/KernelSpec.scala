@@ -158,6 +158,38 @@ class KernelSpec extends SparkTestBase {
       3L -> Some(3.0), 4L -> Some(4.0), 9L -> None))
   }
 
+  test("LPA on the kernel (mode combiner) equals the Catalyst engine (labels AND iterations)") {
+    // two dense cliques + a bridge + random noise: exercises real label
+    // coalescing, count ties (broken toward the smaller label in both
+    // paths), and isolated self-loop vertices that keep their label
+    val clique = (0L until 8L).flatMap(a => (0L until 8L).map(b => (a, b)))
+    val clique2 = (20L until 27L).flatMap(a => (20L until 27L).map(b => (a, b)))
+    val es = clique ++ clique2 ++ Seq((7L, 20L)) ++ randomEdges(60, 150, seed = 113)
+    for (iters <- Seq(1, 3, 10)) {
+      val kr = graft.algos.LabelPropagation.runKernel(edgesDF(es), parts, maxIters = iters)
+      val got = kr.state.select("vid", "label").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val eng = graft.algos.LabelPropagation.run(edgesDF(es), parts, maxIters = iters)
+      val want = eng.state.select("vid", "label").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == want, s"kernel LPA labels diverge from the engine at maxIters=$iters")
+      assert(kr.iterations == eng.iterations,
+        s"kernel ran ${kr.iterations} supersteps, engine ${eng.iterations} (maxIters=$iters)")
+    }
+  }
+
+  test("kernel LPA is deterministic (two runs bit-identical)") {
+    val es = randomEdges(150, 600, seed = 127)
+    def once(): Seq[(Long, Long)] = {
+      val r = graft.algos.LabelPropagation.runKernel(edgesDF(es), parts, maxIters = 5)
+      val out = r.state.select("vid", "label").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      graft.graph.Engine.release(r.state)
+      out
+    }
+    assert(once() == once())
+  }
+
   test("frontier runs are deterministic (two CC runs bit-identical)") {
     val es = randomEdges(200, 800, seed = 109)
     def once(): Seq[(Long, Double)] = {
