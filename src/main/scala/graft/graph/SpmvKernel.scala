@@ -21,7 +21,11 @@ import graft.ckpt.IterMetrics
   *    per-partition BITSET over state slots (the reference's activity
   *    bits XI/XV, vp:711-784; single-node tcsc_spmspv2.hpp:81-531),
   *    and each tile ships its accumulator SPARSE ([idx…][val…]) when
-  *    that is smaller than the dense double array.
+  *    that is smaller than the dense double array;
+  *  - plus [[CompiledGraph.lpa]]: frequency LPA's mode combiner is a
+  *    multiset, not a scalar monoid, so it runs as its own stage pair
+  *    over the same tiles (label-count triple exchange) — the whole
+  *    reference app family runs compiled.
   *
   * The DataFrame Engine (graph/Engine.scala) re-analyzes, re-plans and
   * re-launches a Catalyst job every superstep; the plan is IDENTICAL
@@ -76,8 +80,7 @@ import graft.ckpt.IterMetrics
   * in one partition (the DataFrame engine salts those rows; the
   * reference's 2D grid has the matching limitation per rank row).
   * `edgeImbalance` reports the realized skew; the DataFrame engine
-  * remains the general path (arbitrary Column-expression programs,
-  * frequency-LPA's non-monoid combiner).
+  * remains the general path (arbitrary Column-expression programs).
   */
 object SpmvKernel {
 

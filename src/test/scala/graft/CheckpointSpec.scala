@@ -136,6 +136,25 @@ class CheckpointSpec extends SparkTestBase {
     assert(resumed == straight, "frontier resume diverged from the uninterrupted run")
   }
 
+  test("kernel LPA resumes from a mid-run snapshot with identical final labels") {
+    val es = randomEdges(150, 600, seed = 73)
+    def labelsOf(r: RunResult): Set[(Long, Long)] =
+      r.state.select("vid", "label").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+    val straight = labelsOf(LabelPropagation.runKernel(edgesDF(es), parts, maxIters = 6))
+
+    // "killed" after 3 supersteps, then a fresh compile+run resumes at
+    // iter=3 (the non-scalar label state rides the same stateFromDF
+    // re-slot path) and finishes the same 6-superstep budget
+    val dir = Files.createTempDirectory("graft-ckpt-lpa-kernel").toString
+    val mgr = new CheckpointManager(dir, every = 3)
+    LabelPropagation.runKernel(edgesDF(es), parts, maxIters = 3, ckpt = Some(mgr))
+    assert(mgr.latestIter().contains(3))
+    val resumed = labelsOf(LabelPropagation.runKernel(edgesDF(es), parts, maxIters = 6, ckpt = Some(mgr)))
+    assert(resumed == straight, "kernel LPA resume diverged from the uninterrupted run")
+  }
+
   test("resuming a kernel run from a DIFFERENT graph's snapshot fails fast, not hangs") {
     val gA = SpmvKernel.compile(edgesDF(Seq((0L, 1L), (1L, 2L), (2L, 0L))), parts)
     val gB = SpmvKernel.compile(edgesDF(Seq((1000L, 1001L), (1001L, 1000L))), parts)
