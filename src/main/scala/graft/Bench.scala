@@ -13,6 +13,7 @@ import scala.collection.mutable
   *     extraction → parked parquet edge table → 10 supersteps — run at
   *     two parallelism levels on the SAME parked input, plus an
   *     unsaturated-pair curve, a frontier-algorithm (CC) kernel-vs-
+  *     engine pair, a multiset-combiner (frequency LPA) kernel-vs-
   *     engine pair, and the Catalyst-engine continuity pair. Each
   *     sample runs in its own FORKED JVM (graft.tools.ScalingProbe) so
   *     GC state never bleeds between configurations; throughput =
@@ -295,6 +296,8 @@ object Bench {
       yield k.tput / e.tput
     val ccSpeedup = for (k <- S.get("ccK"); e <- S.get("ccE"); if k.loopSec > 0)
       yield e.loopSec / k.loopSec
+    val lpaSpeedup = for (k <- S.get("lpaK"); e <- S.get("lpaE"); if k.loopSec > 0)
+      yield e.loopSec / k.loopSec
 
     val scalingFields = mutable.ArrayBuffer.empty[String]
     scalingFields += s""""mode":"kernel","cores_lo":$loCores,"cores_hi":$hiCores"""
@@ -319,6 +322,11 @@ object Bench {
     S.get("ccE").foreach(s => scalingFields +=
       s""""cc_engine_loop_sec":${f"${s.loopSec}%.2f"},"cc_engine_iters":${s.iters}""")
     ccSpeedup.foreach(x => scalingFields += s""""cc_kernel_speedup":${f"$x%.1f"}""")
+    S.get("lpaK").foreach(s => scalingFields +=
+      s""""lpa_kernel_loop_sec":${f"${s.loopSec}%.2f"},"lpa_kernel_iters":${s.iters}""")
+    S.get("lpaE").foreach(s => scalingFields +=
+      s""""lpa_engine_loop_sec":${f"${s.loopSec}%.2f"},"lpa_engine_iters":${s.iters}""")
+    lpaSpeedup.foreach(x => scalingFields += s""""lpa_kernel_speedup":${f"$x%.1f"}""")
     convOpt.foreach { case (it, sec, _) =>
       scalingFields += s""""pr_iters_to_convergence":$it"""
     }
@@ -362,6 +370,8 @@ object Bench {
     row(s"engine PR 4N=$hiCores cores, E/16", "eHiS")
     row(s"kernel CC 4N=$hiCores cores, E/16", "ccK")
     row(s"engine CC 4N=$hiCores cores, E/16", "ccE")
+    row(s"kernel LPA 4N=$hiCores cores, E/16", "lpaK")
+    row(s"engine LPA 4N=$hiCores cores, E/16", "lpaE")
     md ++= "\n"
     strongEff.foreach(e => md ++=
       f"- KERNEL STRONG efficiency N→4N (same input E) = $e%.3f (north_rule criterion: ≥0.8)%n")
@@ -389,6 +399,12 @@ object Bench {
         S.get("ccK").map(s => f"${s.loopSec}%.1f s/${s.iters} iters kernel").getOrElse("") +
         S.get("ccE").map(s => f" vs ${s.loopSec}%.1f s/${s.iters} iters engine").getOrElse("") +
         ") — the nonstationary SpMSpV mode\n"))
+    lpaSpeedup.foreach(x => md ++=
+      (f"- MULTISET COMBINER (frequency LPA, fixed 10-superstep budget) kernel vs%n" +
+        f"  engine at $hiCores cores on E/16: $x%.1f× faster end-to-end (" +
+        S.get("lpaK").map(s => f"${s.loopSec}%.1f s/${s.iters} iters kernel").getOrElse("") +
+        S.get("lpaE").map(s => f" vs ${s.loopSec}%.1f s/${s.iters} iters engine").getOrElse("") +
+        ") — the label-count triple exchange\n"))
     convOpt.foreach { case (it, sec, nr) => md ++=
       (f"- iterations to convergence (per-vertex |Δrank| ≤ 1e-6): $it%n" +
         f"  ($sec%.1f s end-to-end at $hiCores cores on a $nr-repo table)%n")
@@ -525,6 +541,13 @@ object Bench {
       prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "cc"))
     take("ccE", required = false)(
       prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "cc"))
+    // multiset-combiner pair: frequency LPA, kernel vs engine, fixed
+    // 10-superstep budget on the 16th table (the label-count triple
+    // exchange vs the engine's two-hash-agg superstep)
+    take("lpaK", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "lpa"))
+    take("lpaE", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "lpa"))
     // engine continuity pair + same-table kernel reference point
     take("eLoS", required = false)(
       prSampleBest(loCores, pSixteenth, iters, k = 1, kernel = false))

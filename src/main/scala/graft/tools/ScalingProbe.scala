@@ -91,10 +91,34 @@ object ScalingProbe {
     // fixed-iteration PageRank: the NONSTATIONARY (frontier/SpMSpV)
     // benchmark — kernel bitset-frontier loop vs the Catalyst engine's
     // frontier joins. Same undirected dedup shaping on both paths.
+    // PROBE_ALGO=lpa → frequency label propagation (fixed PROBE_ITERS
+    // budget; both paths stop at the same superstep by parity): the
+    // MULTISET-combiner benchmark — the kernel's label-count triple
+    // exchange vs the engine's two-hash-aggregation superstep.
     val algo = sys.env.getOrElse("PROBE_ALGO", "pr")
 
     val (mode, nV, nE, rIters, iterWalls, imbalance, pl) =
-      if (kernelMode && algo == "cc") {
+      if (kernelMode && algo == "lpa") {
+        val und = GraphShaping.shape(edges,
+          EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
+          .select("src", "dst")
+        val g = graft.graph.SpmvKernel.compile(und, parts)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=kernel-lpa cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.lpa(maxIters = iters))
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        ("kernel-lpa", g.numVertices, g.numEdges, r.iterations,
+          r.metrics.map(_.wallMs), g.edgeImbalance, pl)
+      } else if (algo == "lpa") {
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(
+          LabelPropagation.run(edges.repartition(parts), parts, maxIters = iters))
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=engine-lpa cores=$cores parts=$parts buildSec=$tBuild%.1f")
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        val nE = edges.count()
+        ("engine-lpa", r.state.count(), nE, r.iterations,
+          r.metrics.map(_.wallMs), 0.0, pl)
+      } else if (kernelMode && algo == "cc") {
         val und = GraphShaping.shape(edges,
           EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
         val g = graft.graph.SpmvKernel.compile(und, parts)
