@@ -518,7 +518,11 @@ object Bench {
         } catch {
           case e: Throwable =>
             shed += s"$key(failed)"
-            System.err.println(s"[bench] sample $key FAILED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
+            // getMessage can be null (NPE, InterruptedException) — a
+            // null deref HERE would kill the artifact-first contract
+            System.err.println(s"[bench] sample $key FAILED: " +
+              Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+                .getOrElse(e.getClass.getName))
         }
         writeArtifacts()
       }

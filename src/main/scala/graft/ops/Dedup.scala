@@ -201,8 +201,19 @@ object Dedup {
     // eager localCheckpoint, so this copy is a cheap block read)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    // kernel CC carries labels as IEEE doubles — exact only for
+    // 0 <= vid < 2^53 (KernelProgram.MaxExactVid). Doc ids outside
+    // that window (negative, or 64-bit content hashes) silently fall
+    // back to the DataFrame engine instead of throwing from init();
+    // the bounds agg is one tiny job over the checkpointed blocks.
+    val kernelSafe = kernel && {
+      val b = edges.agg(
+        min(least(col("src"), col("dst"))).as("lo"),
+        max(greatest(col("src"), col("dst"))).as("hi")).head
+      b.isNullAt(0) || (b.getLong(0) >= 0L && b.getLong(1) < (1L << 53))
+    }
     val state =
-      if (kernel) {
+      if (kernelSafe) {
         // same undirected shaping ConnectedComponents.run applies
         val und = graft.graph.GraphShaping.shape(edges,
           graft.graph.EdgeShaping(directed = false, parallelEdges = false))

@@ -102,16 +102,11 @@ object Apps {
         val reached = r.state.filter(col("dist").isNotNull)
         Summary("sssp", r.iterations, cks(reached, "dist"),
           Some(reached.count()), sec, topOf(reached, "dist"), Some(r.state), "dist")
-      case "lpa" if kernel =>
-        val r = graft.algos.LabelPropagation.runKernel(edges, parts,
-          maxIters = if (iters > 0) iters else 10)
-        val st = r.state.select(col("vid"), col("label"))
-        Summary("lpa", r.iterations, cks(st, "label"),
-          Some(st.select("label").distinct().count()), sec,
-          topOf(st, "label"), Some(st), "label")
       case "lpa" =>
-        val r = graft.algos.LabelPropagation.run(edges, parts,
-          maxIters = if (iters > 0) iters else 10)
+        val mi = if (iters > 0) iters else 10
+        // both paths return RunResult with identical (vid,label) state
+        val r = if (kernel) graft.algos.LabelPropagation.runKernel(edges, parts, maxIters = mi)
+                else graft.algos.LabelPropagation.run(edges, parts, maxIters = mi)
         val st = r.state.select(col("vid"), col("label"))
         Summary("lpa", r.iterations, cks(st, "label"),
           Some(st.select("label").distinct().count()), sec,

@@ -115,9 +115,13 @@ object ScalingProbe {
         val tBuild = (System.nanoTime() - t0) / 1e9
         println(f"[probe] mode=engine-lpa cores=$cores parts=$parts buildSec=$tBuild%.1f")
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
-        val nE = edges.count()
+        // report the SAME shaped undirected edge set the engine
+        // iterates (and the kernel twin reports) so the BENCH.md pair
+        // rows are comparable; imbalance -1 = not measured here
+        val nE = GraphShaping.shape(edges,
+          EdgeShaping(selfLoops = false, directed = false, parallelEdges = false)).count()
         ("engine-lpa", r.state.count(), nE, r.iterations,
-          r.metrics.map(_.wallMs), 0.0, pl)
+          r.metrics.map(_.wallMs), -1.0, pl)
       } else if (kernelMode && algo == "cc") {
         val und = GraphShaping.shape(edges,
           EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
@@ -135,9 +139,11 @@ object ScalingProbe {
         val tBuild = (System.nanoTime() - t0) / 1e9
         println(f"[probe] mode=engine-cc cores=$cores parts=$parts buildSec=$tBuild%.1f")
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
-        val nE = edges.count()
+        // same shaped-count comparability contract as engine-lpa above
+        val nE = GraphShaping.shape(edges,
+          EdgeShaping(directed = false, parallelEdges = false)).count()
         ("engine-cc", r.state.count(), nE, r.iterations,
-          r.metrics.map(_.wallMs), 0.0, pl)
+          r.metrics.map(_.wallMs), -1.0, pl)
       } else if (kernelMode) {
         val g = graft.graph.SpmvKernel.compile(edges, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9

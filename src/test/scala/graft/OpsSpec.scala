@@ -58,6 +58,18 @@ class DedupSpec extends SparkTestBase {
     assert(gotEngine == want, "Catalyst-engine clustering diverged from the kernel path")
   }
 
+  test("duplicate clusters fall back to the engine for ids outside the kernel-exact window") {
+    val s = spark; import s.implicits._
+    // negative and >= 2^53 ids are legal doc ids (64-bit content
+    // hashes); the kernel path carries labels as doubles, so these
+    // must route to the DataFrame engine instead of throwing
+    val big = (1L << 53) + 5L
+    val pairs = Seq((-3L, 8L), (8L, big)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, parts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(-3L -> -3L, 8L -> -3L, big -> -3L))
+  }
+
   test("LSH self-join reads the persisted bucket frame on both sides") {
     // the signature pipeline (shingle explode + 64-way min agg) is the
     // dominant stage — without the persist it executes twice, once per
