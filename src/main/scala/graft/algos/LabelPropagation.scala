@@ -55,7 +55,7 @@ object LabelPropagation {
                      ckpt: Option[CheckpointManager] = None): RunResult = {
     val spark = adj.out.sparkSession
     val metrics = ArrayBuffer.empty[IterMetrics]
-    val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+    val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i, "lpa"))))
     var state = resumed.map(_._2)
       .getOrElse(adj.vertices
         .select(col("vid"), col("vid").as("label"), lit(true).as("changed")))

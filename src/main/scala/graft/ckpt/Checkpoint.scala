@@ -58,6 +58,14 @@ final class CheckpointManager(root: String, val every: Int) extends Serializable
     Files.writeString(dir.resolve("manifest.json"), manifest)
   }
 
+  /** Algorithm name recorded in the snapshot's manifest. */
+  def manifestAlgo(iter: Int): Option[String] = {
+    val m = iterDir(iter).resolve("manifest.json")
+    if (!Files.exists(m)) None
+    else """"algo"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(Files.readString(m)).map(_.group(1))
+  }
+
   /** Latest complete snapshot (has a manifest), if any. */
   def latestIter(): Option[Int] = {
     val r = Paths.get(root)
@@ -71,4 +79,17 @@ final class CheckpointManager(root: String, val every: Int) extends Serializable
 
   def load(spark: SparkSession, iter: Int): DataFrame =
     spark.read.parquet(iterDir(iter).resolve("state").toString)
+
+  /** Load with a fail-fast algorithm check: resuming algorithm X from
+    * a snapshot written by algorithm Y would reinterpret state columns
+    * (e.g. an engine LPA's LONG label read as the kernel's DOUBLE) —
+    * the same wrong-input class as resuming from a different graph,
+    * which the kernel's slot lookup already rejects. */
+  def load(spark: SparkSession, iter: Int, expectAlgo: String): DataFrame = {
+    manifestAlgo(iter).filter(_ != expectAlgo).foreach(a =>
+      throw new IllegalArgumentException(
+        s"checkpoint at $root iter=$iter was written by algorithm '$a', " +
+          s"cannot resume '$expectAlgo' from it"))
+    load(spark, iter)
+  }
 }

@@ -85,7 +85,8 @@ object Engine {
                       metrics: ArrayBuffer[IterMetrics]): RunResult = {
     val spark = adj.out.sparkSession
 
-    val resumed = cfg.ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+    val resumed = cfg.ckpt.flatMap(c => c.latestIter().map(i =>
+      (i, c.load(spark, i, program.name))))
     var iter = resumed.map(_._1).getOrElse(0)
     var state = resumed.map(_._2)
       .getOrElse(program.init(adj.vertices))

@@ -70,6 +70,12 @@ trait KernelProgram extends Serializable {
     * bit (reference applicator, vp:37-39). `iter` is 0-based, matching
     * the reference's iteration-dependent applies (bfs.h:65-77). */
   def apply(values: Array[Double], base: Int, y: Double, iter: Int): Boolean
+
+  /** true when the program carries VERTEX IDS through double-typed
+    * messages (CC labels, BFS parents) — exact only below 2^53. The
+    * loop re-asserts the window on checkpoint RESUME, where init() (the
+    * fresh-start check site) never runs. */
+  def requiresExactVids: Boolean = false
 }
 
 object KernelProgram {
@@ -137,6 +143,7 @@ final class CcKernelProgram extends KernelProgram {
   val columns = Seq("label")
   val combineOp = KernelProgram.Min
   val edgeOp = KernelProgram.MsgOnly
+  override val requiresExactVids = true
   def init(vid: Long, values: Array[Double], base: Int): Boolean = {
     KernelProgram.checkExactVid(vid, name)
     values(base) = vid.toDouble; true
@@ -159,6 +166,7 @@ final class BfsKernelProgram(root: Long) extends KernelProgram {
   val columns = Seq("parent", "hops")
   val combineOp = KernelProgram.Min
   val edgeOp = KernelProgram.MsgOnly
+  override val requiresExactVids = true
   def init(vid: Long, values: Array[Double], base: Int): Boolean = {
     KernelProgram.checkExactVid(vid, name)
     if (vid == root) { values(base) = vid.toDouble; values(base + 1) = 0.0; true }

@@ -296,6 +296,19 @@ object SpmvKernel {
         .select(col("vid"), col("degree").cast("long").as("degree"))
     }
 
+    /** Re-assert the 2^53 exact-id window over the compiled vids (they
+      * are sorted per partition, so first/last suffice) — the resume
+      * path's twin of the per-vertex init() check, which never runs on
+      * a checkpoint resume. One tiny job over the cached tiles. */
+    private def requireExactVids(program: String): Unit =
+      kernel.map(kp =>
+        if (kp.vids.isEmpty) null
+        else (kp.vids(0), kp.vids(kp.vids.length - 1)))
+        .collect().filter(_ != null).foreach { case (lo, hi) =>
+          KernelProgram.checkExactVid(lo, program)
+          KernelProgram.checkExactVid(hi, program)
+        }
+
     /** Re-slot a saved state frame into the kernel's partition layout —
       * the resume half of the checkpoint contract. Nulls become NaN;
       * a missing `changed` column means all-active (only legacy
@@ -304,9 +317,15 @@ object SpmvKernel {
       * (the LPA mode) share the same resume path. */
     private def stateFromDF(width: Int, stateCols: Seq[String], df: DataFrame): RDD[PartState] = {
       val hp = new HashPartitioner(parts)
-      val cols = "vid" +: stateCols
+      // explicit casts: the manifest algo check rejects cross-ALGORITHM
+      // resumes, but a same-algo snapshot written with different column
+      // types (e.g. a long-typed label) must still read as the doubles
+      // the kernel stores — ir.getDouble on a LONG column would
+      // otherwise reinterpret raw bits
+      val cols = "CAST(vid AS BIGINT) AS vid" +:
+        stateCols.map(c => s"CAST($c AS DOUBLE) AS $c")
       val hasChanged = df.columns.contains("changed")
-      val sel = if (hasChanged) cols :+ "changed" else cols
+      val sel = if (hasChanged) cols :+ "CAST(changed AS BOOLEAN) AS changed" else cols
       val keyed = df.selectExpr(sel: _*).queryExecution.toRdd
         .map { ir =>
           val vs = new Array[Double](width)
@@ -390,7 +409,9 @@ object SpmvKernel {
       val stationary = program.stationary
       val metrics = ArrayBuffer.empty[IterMetrics]
 
-      val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+      val resumed = ckpt.flatMap(c => c.latestIter().map(i =>
+        (i, c.load(spark, i, s"${program.name}-kernel"))))
+      if (resumed.isDefined && program.requiresExactVids) requireExactVids(program.name)
       var state: RDD[PartState] = resumed
         .map { case (_, df) => stateFromDF(width, program.columns, df) }
         .getOrElse(kernel.map { kp =>
@@ -647,7 +668,9 @@ object SpmvKernel {
       val P = parts
       val cols = Seq("label")
       val metrics = ArrayBuffer.empty[IterMetrics]
-      val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i))))
+      val resumed = ckpt.flatMap(c => c.latestIter().map(i =>
+        (i, c.load(spark, i, "lpa-kernel"))))
+      if (resumed.isDefined) requireExactVids("lpa")
       var state: RDD[PartState] = resumed
         .map { case (_, df) => stateFromDF(1, cols, df) }
         .getOrElse(kernel.map { kp =>

@@ -110,10 +110,12 @@ object ScalingProbe {
         ("kernel-lpa", g.numVertices, g.numEdges, r.iterations,
           r.metrics.map(_.wallMs), g.edgeImbalance, pl)
       } else if (algo == "lpa") {
+        // no buildSec here: the engine builds its adjacency inside the
+        // measured run, so there is no distinct build phase to report
+        // (a post-measure capture printed the whole loop as "build")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(
           LabelPropagation.run(edges.repartition(parts), parts, maxIters = iters))
-        val tBuild = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] mode=engine-lpa cores=$cores parts=$parts buildSec=$tBuild%.1f")
+        println(s"[probe] mode=engine-lpa cores=$cores parts=$parts")
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
         // report the SAME shaped undirected edge set the engine
         // iterates (and the kernel twin reports) so the BENCH.md pair
@@ -134,10 +136,10 @@ object ScalingProbe {
         ("kernel-cc", g.numVertices, g.numEdges, r.iterations,
           r.metrics.map(_.wallMs), g.edgeImbalance, pl)
       } else if (algo == "cc") {
+        // same as engine-lpa: adjacency build happens inside run()
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(
           ConnectedComponents.run(edges.repartition(parts), parts))
-        val tBuild = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] mode=engine-cc cores=$cores parts=$parts buildSec=$tBuild%.1f")
+        println(s"[probe] mode=engine-cc cores=$cores parts=$parts")
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
         // same shaped-count comparability contract as engine-lpa above
         val nE = GraphShaping.shape(edges,

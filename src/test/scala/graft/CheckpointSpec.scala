@@ -171,6 +171,21 @@ class CheckpointSpec extends SparkTestBase {
     gA.unpersist(); gB.unpersist()
   }
 
+  test("resuming a kernel run from a DIFFERENT ALGORITHM's snapshot fails fast") {
+    val es = randomEdges(60, 200, seed = 79)
+    val dir = Files.createTempDirectory("graft-ckpt-algo").toString
+    val mgr = new CheckpointManager(dir, every = 1)
+    // engine LPA writes long-typed labels under algo "lpa"; a kernel
+    // LPA resume (algo "lpa-kernel") from it would reinterpret the
+    // columns — it must be rejected at load, not silently mis-read
+    LabelPropagation.run(edgesDF(es), parts, maxIters = 2, ckpt = Some(mgr))
+    val e = intercept[IllegalArgumentException] {
+      LabelPropagation.runKernel(edgesDF(es), parts, maxIters = 4, ckpt = Some(mgr))
+    }
+    assert(e.getMessage.contains("written by algorithm 'lpa'"),
+      s"expected the algo-mismatch diagnostic, got: ${e.getMessage}")
+  }
+
   test("exact-state algorithms resume bit-identically (CC)") {
     val es = randomEdges(200, 400, seed = 57)
     val straight = ConnectedComponents.run(edgesDF(es), parts)
