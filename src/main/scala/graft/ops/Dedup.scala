@@ -201,33 +201,94 @@ object Dedup {
     // eager localCheckpoint, so this copy is a cheap block read)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
-    // kernel CC carries labels as IEEE doubles — exact only for
-    // 0 <= vid < 2^53 (KernelProgram.MaxExactVid). Doc ids outside
-    // that window (negative, or 64-bit content hashes) silently fall
-    // back to the DataFrame engine instead of throwing from init();
-    // the bounds agg is one tiny job over the checkpointed blocks.
-    val kernelSafe = kernel && {
-      val b = edges.agg(
-        min(least(col("src"), col("dst"))).as("lo"),
-        max(greatest(col("src"), col("dst"))).as("hi")).head
-      b.isNullAt(0) || (b.getLong(0) >= 0L && b.getLong(1) < (1L << 53))
-    }
-    val state =
-      if (kernelSafe) {
-        // same undirected shaping ConnectedComponents.run applies
-        val und = graft.graph.GraphShaping.shape(edges,
-          graft.graph.EdgeShaping(directed = false, parallelEdges = false))
-          .select("src", "dst")
-        val g = graft.graph.SpmvKernel.compile(und, parts)
-        val r = g.run(new graft.graph.CcKernelProgram, maxIters = 0)
-        g.unpersist()
-        r.state.select(col("vid"), col("label").cast("long").as("label"))
-      } else graft.algos.ConnectedComponents.run(edges, parts).state
-    // both engines return an EAGER localCheckpoint (materialized), so
-    // the pair-edge blocks are never read again — free them now
+    val out =
+      if (!kernel)
+        graft.algos.ConnectedComponents.run(edges, parts).state
+          .select(col("vid").as("doc_id"), col("label").as("canonical_id"))
+      else {
+        // kernel CC carries labels as IEEE doubles — exact only for
+        // 0 <= vid < 2^53 (KernelProgram.MaxExactVid). Doc ids outside
+        // that window (negative, or 64-bit content hashes / snowflakes
+        // — the COMMON shape at 100 TB) are re-keyed through a dense-id
+        // dictionary so clustering always rides the kernel frontier
+        // loop; the bounds agg is one tiny job over checkpointed blocks.
+        val b = edges.agg(
+          min(least(col("src"), col("dst"))).as("lo"),
+          max(greatest(col("src"), col("dst"))).as("hi")).head
+        val inWindow = b.isNullAt(0) ||
+          (b.getLong(0) >= 0L && b.getLong(1) < (1L << 53))
+        if (inWindow)
+          kernelCcState(edges, parts)
+            .select(col("vid").as("doc_id"),
+              col("label").cast("long").as("canonical_id"))
+        else rekeyedKernelClusters(edges, parts)
+      }
+    // the result above is (or selects from) an EAGER localCheckpoint,
+    // so the pair-edge blocks are never read again — free them now
     // instead of leaking one block set per invocation.
     graft.graph.Engine.release(edges)
-    state.select(col("vid").as("doc_id"), col("label").as("canonical_id"))
+    out
+  }
+
+  /** Kernel CC over an edge frame (same undirected shaping
+    * ConnectedComponents.run applies); returns the materialized state
+    * (vid, label: double, changed). */
+  private def kernelCcState(edges: DataFrame, parts: Int): DataFrame = {
+    val und = graft.graph.GraphShaping.shape(edges,
+      graft.graph.EdgeShaping(directed = false, parallelEdges = false))
+      .select("src", "dst")
+    val g = graft.graph.SpmvKernel.compile(und, parts)
+    val r = g.run(new graft.graph.CcKernelProgram, maxIters = 0)
+    g.unpersist()
+    r.state
+  }
+
+  /** Kernel CC for doc ids OUTSIDE [0, 2^53): re-key through a dense-id
+    * dictionary, run the compiled frontier CC over the new ids, map
+    * back. The dictionary is the distinct id set range-partitioned and
+    * sorted, then zipWithIndex'd — new ids are DENSE (< |V| « 2^53) and
+    * MONOTONE in the original ids, so the kernel's min-label semantics
+    * pick exactly the cluster member with the smallest ORIGINAL id:
+    * canonical-id semantics are preserved bit-for-bit vs the engine
+    * path. Cost: one |V|-sized sort + two dictionary joins each way —
+    * noise next to the CC loop itself, which is the 8×-faster part.
+    */
+  private def rekeyedKernelClusters(edges: DataFrame, parts: Int): DataFrame = {
+    val spark = edges.sparkSession
+    System.err.println(
+      "[graft] duplicateClusters: doc ids outside [0, 2^53) — re-keying " +
+        "through a dense-id dictionary to stay on the kernel CC path")
+    val dict = spark.createDataFrame(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct()
+        // range-partition + sort, then zipWithIndex: indices ascend in
+        // partition order, so they are globally monotone in `id`
+        .repartitionByRange(parts, col("id"))
+        .sortWithinPartitions("id")
+        .queryExecution.toRdd.map(_.getLong(0))
+        .zipWithIndex()
+        .map { case (id, nid) => org.apache.spark.sql.Row(id, nid) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("nid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint(true)
+    val rekeyed = edges
+      .join(dict.select(col("id").as("src"), col("nid").as("nsrc")), "src")
+      .join(dict.select(col("id").as("dst"), col("nid").as("ndst")), "dst")
+      .select(col("nsrc").as("src"), col("ndst").as("dst"))
+    val st = kernelCcState(rekeyed, parts) // (nid, nlabel) — materialized
+    val out = st
+      .select(col("vid"), col("label").cast("long").as("nlabel"))
+      .join(dict.select(col("nid").as("vid"), col("id").as("doc_id")), "vid")
+      .join(dict.select(col("nid").as("nlabel"), col("id").as("canonical_id")), "nlabel")
+      .select(col("doc_id"), col("canonical_id"))
+      .localCheckpoint(true)
+    graft.graph.Engine.release(st)
+    graft.graph.Engine.release(dict)
+    out
   }
 
   // ---------------------------------------------------------------- simhash

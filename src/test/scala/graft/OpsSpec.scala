@@ -58,16 +58,24 @@ class DedupSpec extends SparkTestBase {
     assert(gotEngine == want, "Catalyst-engine clustering diverged from the kernel path")
   }
 
-  test("duplicate clusters fall back to the engine for ids outside the kernel-exact window") {
+  test("duplicate clusters re-key ids outside the kernel-exact window and STAY on the kernel") {
     val s = spark; import s.implicits._
     // negative and >= 2^53 ids are legal doc ids (64-bit content
-    // hashes); the kernel path carries labels as doubles, so these
-    // must route to the DataFrame engine instead of throwing
+    // hashes / snowflakes — the common shape at 100 TB); the kernel
+    // path carries labels as doubles, so these are re-keyed through a
+    // dense-id dictionary (monotone, so canonical = min ORIGINAL id is
+    // preserved) instead of falling back to the 8×-slower engine
     val big = (1L << 53) + 5L
-    val pairs = Seq((-3L, 8L), (8L, big)).toDF("id_a", "id_b")
+    val big2 = Long.MaxValue - 17L
+    val pairs = Seq((-3L, 8L), (8L, big), (big2, -40L)).toDF("id_a", "id_b")
+    val want = Map(-3L -> -3L, 8L -> -3L, big -> -3L, -40L -> -40L, big2 -> -40L)
     val got = Dedup.duplicateClusters(pairs, parts).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(-3L -> -3L, 8L -> -3L, big -> -3L))
+    assert(got == want)
+    // the engine path must agree exactly (same canonical semantics)
+    val gotEngine = Dedup.duplicateClusters(pairs, parts, kernel = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotEngine == want, "engine clustering diverged from the re-keyed kernel path")
   }
 
   test("LSH self-join reads the persisted bucket frame on both sides") {
