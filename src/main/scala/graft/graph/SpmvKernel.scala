@@ -118,6 +118,26 @@ object SpmvKernel {
         s"vid $k is not present in the compiled graph " +
           "(resuming from a checkpoint of a different edge table?)")
     }
+    /** Non-throwing probe for the salted compile path, where a tile
+      * source may legitimately be absent (a mirror). */
+    def getOrElse(k: Long, dflt: Int): Int = {
+      var i = idx(k)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      dflt
+    }
+  }
+
+  /** splitmix64 finalizer — the deterministic spread for salted-hub
+    * chunk routing (public-domain constant, same family as LongIntMap's
+    * probe hash). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   /** Identity partitioner for pre-bucketed (Int-keyed) tile traffic. */
@@ -160,11 +180,24 @@ object SpmvKernel {
     * slots, per-slot out-degree and 1/outdeg, the P outgoing tiles,
     * and — after the one-time compile-phase exchange — for every
     * source partition the mapping from its tile-local destination
-    * index to a slot here. */
+    * index to a slot here.
+    *
+    * Salted-hub support (reference Matrix::balance's skew problem,
+    * matrix.hpp:562-687, answered the way Adjacency.scala:89-105 salts
+    * the DataFrame CSR): a source whose out-degree exceeds the compile
+    * chunk has its edge rows SPLIT across partitions, so tiles here may
+    * reference MIRROR sources this partition does not own. Mirrors get
+    * slots [nOwned, nOwned+nMirror) in the combined index space the
+    * tiles' srcSlots use; their per-superstep values arrive via the
+    * hub-state broadcast (harvested from the owners by the same job
+    * that reads the convergence count). `invDeg` is already combined
+    * (owned ++ mirror); state/export arrays stay owned-sized. */
   private[graph] final case class KernelPartition(
       vids: Array[Long],
       deg: Array[Long],
-      invDeg: Array[Double],
+      invDeg: Array[Double],          // length nOwned + nMirror
+      mirrorVids: Array[Long],        // sorted; empty on an unsalted compile
+      ownedHubSlots: Array[Int],      // owned slots mirrored elsewhere
       tiles: Array[Tile],
       inSlots: Array[Array[Int]]) // by source partition; null when no tile
 
@@ -181,6 +214,38 @@ object SpmvKernel {
 
   private def bitGet(bits: Array[Long], i: Int): Boolean =
     (bits(i >>> 6) & (1L << (i & 63))) != 0
+
+  /** Combined (owned ++ mirror) views of a partition's superstep
+    * inputs for the stage-1 tile loop. Identity (no copies) when the
+    * partition has no mirrors; otherwise the mirror tail is filled
+    * from the hub broadcast. O(V/P) per partition per superstep —
+    * the same order as the value scan stage 1 does anyway. Static so
+    * the task closure never captures the CompiledGraph. */
+  private def combinedInputs(kp: KernelPartition, ps: PartState, width: Int,
+                             hub: scala.collection.Map[Long, (Array[Double], Boolean)])
+      : (Array[Double], Array[Long], Array[Long]) = {
+    val nMir = kp.mirrorVids.length
+    if (nMir == 0) (ps.values, ps.active, kp.vids)
+    else {
+      val nOwned = kp.vids.length
+      val cv = java.util.Arrays.copyOf(ps.values, (nOwned + nMir) * width)
+      val ca = java.util.Arrays.copyOf(ps.active, (nOwned + nMir + 63) >>> 6)
+      val cvids = java.util.Arrays.copyOf(kp.vids, nOwned + nMir)
+      var m = 0
+      while (m < nMir) {
+        val v = kp.mirrorVids(m)
+        val (vals, act) = hub(v)
+        System.arraycopy(vals, 0, cv, (nOwned + m) * width, width)
+        if (act) {
+          val s = nOwned + m
+          ca(s >>> 6) |= 1L << (s & 63)
+        }
+        cvids(nOwned + m) = v
+        m += 1
+      }
+      (cv, ca, cvids)
+    }
+  }
 
   final case class KernelResult(state: DataFrame, iterations: Int,
                                 metrics: Seq[IterMetrics], checksum: Double)
@@ -246,10 +311,47 @@ object SpmvKernel {
       val parts: Int,
       val numVertices: Long,
       val numEdges: Long,
-      val weighted: Boolean) {
+      val weighted: Boolean,
+      /** total mirror slots across partitions — 0 on an unsalted
+        * compile, where every hub-salting code path short-circuits */
+      val mirrorCount: Long = 0L) {
 
     private val sc = spark.sparkContext
     private val tilePart = new TileKeyPartitioner(parts)
+    private def hasMirrors: Boolean = mirrorCount > 0
+
+    /** Per-superstep hub-state snapshot for mirror slots: vid →
+      * (state values, active bit). Bounded by the number of salted
+      * hubs (≤ 4·parts in auto mode) — a few KB of driver traffic
+      * riding the job that already returns the convergence count. */
+    private type HubStates = scala.collection.Map[Long, (Array[Double], Boolean)]
+
+    /** Materialize a state RDD and return (Σ changed, hub snapshot).
+      * The count rides the successful task attempts (exactly-once
+      * under retry, same contract as before); the hub snapshot is
+      * harvested in the same job when the compile salted any hubs,
+      * and is null otherwise — the unsalted path is byte-identical
+      * to the pre-salting loop. */
+    private def countAndHarvest(state: RDD[PartState], width: Int): (Long, HubStates) =
+      if (!hasMirrors)
+        (sc.runJob(state, (it: Iterator[PartState]) => it.next().changed).sum, null)
+      else {
+        val res = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
+          val kp = kIt.next(); val ps = sIt.next()
+          val hubs = new Array[(Long, (Array[Double], Boolean))](kp.ownedHubSlots.length)
+          var i = 0
+          while (i < hubs.length) {
+            val s = kp.ownedHubSlots(i)
+            hubs(i) = (kp.vids(s),
+              (java.util.Arrays.copyOfRange(ps.values, s * width, s * width + width),
+                bitGet(ps.active, s)))
+            i += 1
+          }
+          Iterator.single((ps.changed, hubs))
+        }.collect()
+        (res.iterator.map(_._1).sum, res.iterator.flatMap(_._2).toMap)
+      }
+
 
     /** Exact per-superstep DENSE exchange volume in DOUBLES: Σ over
       * tiles of |distinct destinations| — the stationary upper bound
@@ -430,7 +532,12 @@ object SpmvKernel {
         })
         .persist(StorageLevel.MEMORY_AND_DISK)
       // materialize + read the initial frontier in one exactly-once job
-      var active = sc.runJob(state, (it: Iterator[PartState]) => it.next().changed).sum
+      // (plus the hub snapshot for mirror slots on a salted compile)
+      val init0 = countAndHarvest(state, width)
+      var active = init0._1
+      var hubBc: org.apache.spark.broadcast.Broadcast[
+        scala.collection.Map[Long, (Array[Double], Boolean)]] =
+        if (init0._2 != null) sc.broadcast(init0._2) else null
       var prev: RDD[PartState] = null
       var iter = resumed.map(_._1).getOrElse(0)
 
@@ -456,12 +563,14 @@ object SpmvKernel {
         // bulk path (a block copy), where a boxed record pays
         // elementwise object-stream writes — measured 10-20× the
         // kernel's actual compute time at local[32].
+        val hubBcLocal = hubBc
         val msgs: RDD[((Int, Int), Array[Byte])] =
           kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
             val kp = kIt.next(); val ps = sIt.next()
             val p = TaskContext.getPartitionId()
-            val values = ps.values; val act = ps.active
-            val vids = kp.vids; val invDeg = kp.invDeg
+            val (values, act, vids) = combinedInputs(kp, ps, width,
+              if (hubBcLocal == null) null else hubBcLocal.value)
+            val invDeg = kp.invDeg
             Iterator.range(0, P).flatMap { q =>
               val t = kp.tiles(q)
               if (t == null) Iterator.empty
@@ -594,12 +703,19 @@ object SpmvKernel {
         // accumulates across attempts).
         sc.setJobGroup(s"graft-superstep-$iter", s"${program.name} superstep $iter",
           interruptOnCancel = false)
-        val counts =
-          try sc.runJob(newState, (it: Iterator[PartState]) => it.next().changed)
+        val (nActive, hubNew) =
+          try countAndHarvest(newState, width)
           finally sc.clearJobGroup() // ckpt/export jobs are NOT the superstep
         profAcc.foreach(a => System.err.println(
           s"[kernel-profile] iter=$iter computeMs=${a.value / 1000000}"))
-        active = counts.sum
+        active = nActive
+        if (hubNew != null) {
+          // the old snapshot served this superstep's stage 1, which the
+          // job above has fully materialized — safe to release now
+          val old = hubBc
+          hubBc = sc.broadcast(hubNew)
+          if (old != null) old.unpersist(false)
+        }
         if (prev != null) prev.unpersist(false)
         prev = state
         state = newState
@@ -634,6 +750,7 @@ object SpmvKernel {
       val df = stateDF(width, program.columns, state).localCheckpoint(true)
       state.unpersist(false)
       if (prev != null) prev.unpersist(false)
+      if (hubBc != null) hubBc.unpersist(false)
       KernelResult(df, iter, metrics.toSeq, checksum)
     }
 
@@ -687,17 +804,23 @@ object SpmvKernel {
           PartState(values, bits, n.toLong)
         })
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var active = sc.runJob(state, (it: Iterator[PartState]) => it.next().changed).sum
+      val init0 = countAndHarvest(state, 1)
+      var active = init0._1
+      var hubBc: org.apache.spark.broadcast.Broadcast[
+        scala.collection.Map[Long, (Array[Double], Boolean)]] =
+        if (init0._2 != null) sc.broadcast(init0._2) else null
       var prev: RDD[PartState] = null
       var iter = resumed.map(_._1).getOrElse(0)
 
       while (active > 0 && iter < maxIters) {
         val t0 = System.nanoTime()
+        val hubBcLocal = hubBc
         val msgs: RDD[((Int, Int), Array[Byte])] =
           kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
             val kp = kIt.next(); val ps = sIt.next()
             val p = TaskContext.getPartitionId()
-            val labels = ps.values
+            val (labels, _, _) = combinedInputs(kp, ps, 1,
+              if (hubBcLocal == null) null else hubBcLocal.value)
             Iterator.range(0, P).flatMap { q =>
               val t = kp.tiles(q)
               if (t == null) Iterator.empty
@@ -768,10 +891,15 @@ object SpmvKernel {
           newState.localCheckpoint()
         sc.setJobGroup(s"graft-superstep-$iter", s"lpa superstep $iter",
           interruptOnCancel = false)
-        val partChanged =
-          try sc.runJob(newState, (it: Iterator[PartState]) => it.next().changed)
+        val (nActive, hubNew) =
+          try countAndHarvest(newState, 1)
           finally sc.clearJobGroup()
-        active = partChanged.sum
+        active = nActive
+        if (hubNew != null) {
+          val old = hubBc
+          hubBc = sc.broadcast(hubNew)
+          if (old != null) old.unpersist(false)
+        }
         if (prev != null) prev.unpersist(false)
         prev = state
         state = newState
@@ -799,6 +927,7 @@ object SpmvKernel {
       val df = stateDF(1, cols, state).localCheckpoint(true)
       state.unpersist(false)
       if (prev != null) prev.unpersist(false)
+      if (hubBc != null) hubBc.unpersist(false)
       KernelResult(df, iter, metrics.toSeq, checksum)
     }
 
@@ -1023,9 +1152,24 @@ object SpmvKernel {
   /** Compile an edge table (src, dst[, w]) into the tiled kernel form.
     * Three one-time shuffles: edges→hash(src), vertex-universe dedup,
     * and the tile-destination-list exchange that precomputes every
-    * (p,q) slot mapping. Deterministic: tile edges sorted (src, dst),
-    * tile destination lists sorted, so recompiles are bit-identical. */
-  def compile(edges: DataFrame, parts: Int): CompiledGraph = {
+    * (p,q) slot mapping (+ one more, hub-edge re-routing, ONLY when a
+    * hub breaches the salting chunk). Deterministic: tile edges sorted
+    * (src, dst), tile destination lists sorted, so recompiles are
+    * bit-identical.
+    *
+    * `hubChunk` caps how many of one source's edges may concentrate in
+    * a single partition before the source row is SALTED — split across
+    * partitions in chunks keyed by hash(dst), the same rationale as
+    * the DataFrame engine's salted CSR (Adjacency.scala:89-105):
+    * message duplication is correct for gather, and stage 2 already
+    * merges by destination. 0 (the default) = auto:
+    * max(65536, E/(4·parts)) — only a vertex owning more than a
+    * quarter-partition of edges triggers, so ordinary graphs compile
+    * byte-identically to the unsalted layout. Receiving partitions get
+    * MIRROR source slots whose state is refreshed each superstep from
+    * a hub broadcast harvested by the convergence-count job (O(#hubs)
+    * ≤ 4·parts values — driver traffic in the kilobytes). */
+  def compile(edges: DataFrame, parts: Int, hubChunk: Long = 0L): CompiledGraph = {
     val spark = edges.sparkSession
     val weighted = edges.columns.contains("w")
     val hp = new HashPartitioner(parts)
@@ -1055,9 +1199,46 @@ object SpmvKernel {
     // out-degree (counts parallel edges, reference pr.cpp:38-49)
     val degs: RDD[(Long, Long)] = eRdd.mapValues(_ => 1L).reduceByKey(hp, _ + _)
 
+    // hub detection in ONE pass over the degree stream: total edge
+    // count + every source above the salting floor; the final chunk
+    // (auto mode needs E) then filters the candidate list driver-side
+    val floor = if (hubChunk > 0) hubChunk else 65536L
+    val (totalE, hubCands) = degs.aggregate((0L, List.empty[(Long, Long)]))(
+      { case ((s, c), (v, d)) => (s + d, if (d > floor) (v, d) :: c else c) },
+      { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 ::: c2) })
+    val chunk =
+      if (hubChunk > 0) hubChunk
+      else math.max(65536L, totalE / (4L * parts))
+    val hubMap: Map[Long, Long] = hubCands.filter(_._2 > chunk).toMap
+
+    // hub edges re-route to a salted partition: chunk k = hash(dst) %
+    // nChunks, target = hash(src, k) — deterministic, so recompiles
+    // stay bit-identical. Non-hub graphs skip the extra shuffle.
+    val eTiles: RDD[(Long, (Long, Double))] =
+      if (hubMap.isEmpty) eRdd
+      else {
+        val hm = hubMap // bounded: ≤ E/chunk entries (≤ 4·parts in auto)
+        val ck = chunk
+        val P = parts
+        eRdd
+          .mapPartitions(_.map { case (s, (d, w)) =>
+            val target = hm.get(s) match {
+              case Some(dg) =>
+                val nc = math.min((dg + ck - 1) / ck, P.toLong).toInt
+                val k = ((mix(d) >>> 33) % nc).toInt
+                ((mix(s + 31L * (k + 1)) >>> 33) % P).toInt
+              case None => hp.getPartition(s)
+            }
+            (target, (s, d, w))
+          }, preservesPartitioning = false)
+          .partitionBy(idPart)
+          .mapPartitions(_.map { case (_, (s, d, w)) => (s, (d, w)) },
+            preservesPartitioning = false)
+      }
+
     val compiled: RDD[(KernelPartition, Array[Array[Long]])] =
-      verts.zipPartitions(degs, eRdd, preservesPartitioning = true) { (vIt, dIt, eIt) =>
-        Iterator.single(compilePartition(parts, hp, vIt, dIt, eIt, weighted))
+      verts.zipPartitions(degs, eTiles, preservesPartitioning = true) { (vIt, dIt, eIt) =>
+        Iterator.single(compilePartition(parts, hp, hubMap, vIt, dIt, eIt, weighted))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     compiled.count()
     eRdd.unpersist(false)
@@ -1091,26 +1272,64 @@ object SpmvKernel {
       Iterator.single(kp.copy(inSlots = inSlots))
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val (nV, nE) = kernel
+    val (nV, nE, nMir) = kernel
       .map(kp => (kp.vids.length.toLong,
-        kp.tiles.map(t => if (t == null) 0L else t.nEdges.toLong).sum))
-      .fold((0L, 0L)) { case ((v1, e1), (v2, e2)) => (v1 + v2, e1 + e2) }
+        kp.tiles.map(t => if (t == null) 0L else t.nEdges.toLong).sum,
+        kp.mirrorVids.length.toLong))
+      .fold((0L, 0L, 0L)) { case ((v1, e1, m1), (v2, e2, m2)) =>
+        (v1 + v2, e1 + e2, m1 + m2) }
     compiled.unpersist(false)
-    new CompiledGraph(kernel, spark, parts, nV, nE, weighted)
+    new CompiledGraph(kernel, spark, parts, nV, nE, weighted, nMir)
   }
 
   private def compilePartition(
-      P: Int, hp: HashPartitioner,
+      P: Int, hp: HashPartitioner, hubMap: Map[Long, Long],
       vIt: Iterator[(Long, Null)], dIt: Iterator[(Long, Long)],
       eIt: Iterator[(Long, (Long, Double))],
       weighted: Boolean): (KernelPartition, Array[Array[Long]]) = {
     val vids = vIt.map(_._1).toArray
     java.util.Arrays.sort(vids)
-    val vidSlot = new LongIntMap(vids.length)
+    val nOwned = vids.length
+    val vidSlot = new LongIntMap(nOwned)
     var vi = 0
-    while (vi < vids.length) { vidSlot.put(vids(vi), vi); vi += 1 }
-    val deg = new Array[Long](vids.length)
-    val invDeg = new Array[Double](vids.length)
+    while (vi < nOwned) { vidSlot.put(vids(vi), vi); vi += 1 }
+    val deg = new Array[Long](nOwned)
+
+    // bucket edges by destination partition, collecting the sources a
+    // salted compile routed here that this partition does NOT own
+    val bufS = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    val bufD = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    val bufW = if (weighted) Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofDouble) else null
+    val mirrorB = new scala.collection.mutable.ArrayBuilder.ofLong
+    eIt.foreach { case (s, (d, w)) =>
+      val q = hp.getPartition(d)
+      bufS(q) += s; bufD(q) += d
+      if (bufW != null) bufW(q) += w
+      if (vidSlot.getOrElse(s, -1) < 0) mirrorB += s
+    }
+    // sorted, deduped mirror list → deterministic mirror slot order
+    val mirrorVids = {
+      val raw = mirrorB.result()
+      java.util.Arrays.sort(raw)
+      var u = -1; var i = 0
+      while (i < raw.length) {
+        if (u < 0 || raw(i) != raw(u)) { u += 1; raw(u) = raw(i) }
+        i += 1
+      }
+      java.util.Arrays.copyOf(raw, u + 1)
+    }
+    val mirrorSlot = new LongIntMap(math.max(1, mirrorVids.length))
+    var mi = 0
+    while (mi < mirrorVids.length) { mirrorSlot.put(mirrorVids(mi), mi); mi += 1 }
+    def slotOf(s: Long): Int = {
+      val o = vidSlot.getOrElse(s, -1)
+      if (o >= 0) o else nOwned + mirrorSlot.get(s)
+    }
+
+    // combined invDeg: owned (from the degree stream) ++ mirror (from
+    // the hub map — a mirror is by construction a hub, whose full
+    // out-degree the map carries)
+    val invDeg = new Array[Double](nOwned + mirrorVids.length)
     dIt.foreach { case (v, d) =>
       if (d > 0) {
         val s = vidSlot.get(v)
@@ -1118,16 +1337,16 @@ object SpmvKernel {
         invDeg(s) = 1.0 / d
       }
     }
-
-    // bucket edges by destination partition
-    val bufS = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
-    val bufD = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
-    val bufW = if (weighted) Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofDouble) else null
-    eIt.foreach { case (s, (d, w)) =>
-      val q = hp.getPartition(d)
-      bufS(q) += s; bufD(q) += d
-      if (bufW != null) bufW(q) += w
+    mi = 0
+    while (mi < mirrorVids.length) {
+      invDeg(nOwned + mi) = 1.0 / hubMap(mirrorVids(mi))
+      mi += 1
     }
+    // owned vids that are salted hubs (mirrored in other partitions):
+    // their state is harvested for the hub broadcast every superstep
+    val ownedHubSlots = hubMap.keysIterator
+      .map(h => vidSlot.getOrElse(h, -1)).filter(_ >= 0).toArray
+    java.util.Arrays.sort(ownedHubSlots)
 
     val tiles = new Array[Tile](P)
     val dstVids = new Array[Array[Long]](P)
@@ -1141,10 +1360,11 @@ object SpmvKernel {
         // order (slot fits an Int, so (slot<<32 | idx) sorts as one
         // primitive long — no boxed comparator). Per-destination sums
         // are then added in ascending-source order every compile; dst
-        // order within a source row is irrelevant to the sums.
+        // order within a source row is irrelevant to the sums. Mirror
+        // slots sort after owned slots — also deterministic.
         val order = new Array[Long](n)
         var oi = 0
-        while (oi < n) { order(oi) = (vidSlot.get(ss(oi)).toLong << 32) | oi; oi += 1 }
+        while (oi < n) { order(oi) = (slotOf(ss(oi)).toLong << 32) | oi; oi += 1 }
         java.util.Arrays.sort(order)
         // sorted distinct destination list → tile-local ids
         val distinct = dd.clone()
@@ -1183,6 +1403,7 @@ object SpmvKernel {
       }
       q += 1
     }
-    (KernelPartition(vids, deg, invDeg, tiles, inSlots = null), dstVids)
+    (KernelPartition(vids, deg, invDeg, mirrorVids, ownedHubSlots, tiles,
+      inSlots = null), dstVids)
   }
 }

@@ -226,6 +226,75 @@ class KernelSpec extends SparkTestBase {
     g.unpersist()
   }
 
+  test("salted hub compile: star graph balances and every program family stays exact") {
+    // one vertex owning ~all out-edges: unsalted, hash(src) drops every
+    // edge into ONE partition. A small hubChunk splits the hub's row
+    // across partitions (mirror slots + per-superstep hub broadcast);
+    // results must match the unsalted compile on every program family.
+    val hub = 0L
+    val star = (1L to 600L).map(d => (hub, d)) ++
+      Seq((600L, 601L), (601L, hub), (5L, 6L), (6L, 7L))
+    val flat = SpmvKernel.compile(edgesDF(star), parts)
+    val salted = SpmvKernel.compile(edgesDF(star), parts, hubChunk = 64)
+    try {
+      assert(salted.mirrorCount > 0, "expected the star hub to salt into mirrors")
+      assert(salted.numVertices == flat.numVertices && salted.numEdges == flat.numEdges)
+      // balance: the hub's 600 edges spread across partitions
+      assert(salted.edgeImbalance < flat.edgeImbalance,
+        s"salted=${salted.edgeImbalance} flat=${flat.edgeImbalance}")
+      assert(salted.edgeImbalance < 3.0, s"salted=${salted.edgeImbalance}")
+
+      // stationary (PR): float-sum GROUPING changes, so allclose 1e-9
+      def pr(g: SpmvKernel.CompiledGraph) = g.pagerank(maxIters = 10)
+        .state.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val (prF, prS) = (pr(flat), pr(salted))
+      assert(prF.keySet == prS.keySet)
+      prF.foreach { case (v, x) =>
+        assert(math.abs(prS(v) - x) <= 1e-9, s"PR vid=$v flat=$x salted=${prS(v)}") }
+
+      // frontier min-combiner (CC): min is grouping-independent → exact
+      def cc(g: SpmvKernel.CompiledGraph) = g.run(new CcKernelProgram, maxIters = 0)
+        .state.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(cc(flat) == cc(salted), "CC diverged under salting")
+
+      // iteration-dependent apply (BFS from the hub): exact
+      def bfs(g: SpmvKernel.CompiledGraph) = g.run(new BfsKernelProgram(hub), maxIters = 0)
+        .state.collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) -1.0 else x.getDouble(1),
+          if (x.isNullAt(2)) -1.0 else x.getDouble(2))).toSet
+      assert(bfs(flat) == bfs(salted), "BFS diverged under salting")
+
+      // degree family: integer-valued sums → exact
+      def indeg(g: SpmvKernel.CompiledGraph) = g.inDegrees.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(indeg(flat) == indeg(salted), "in-degrees diverged under salting")
+
+      // multiset combiner (LPA): integer counts → labels AND iterations exact
+      def lpa(g: SpmvKernel.CompiledGraph) = {
+        val r = g.lpa(maxIters = 10)
+        (r.iterations, r.state.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap)
+      }
+      assert(lpa(flat) == lpa(salted), "LPA diverged under salting")
+    } finally { flat.unpersist(); salted.unpersist() }
+  }
+
+  test("salted compile is deterministic and auto mode leaves ordinary graphs unsalted") {
+    val es = randomEdges(300, 3000, seed = 103)
+    // auto chunk floor (65536) is far above any degree here
+    val auto = SpmvKernel.compile(edgesDF(es), parts)
+    assert(auto.mirrorCount == 0, "auto salting must not trigger on an ordinary graph")
+    auto.unpersist()
+    // forced salting twice → bit-identical results (deterministic
+    // chunk routing + sorted mirror slots)
+    def once(): Seq[(Long, Double)] = {
+      val g = SpmvKernel.compile(edgesDF(es), parts, hubChunk = 8)
+      try g.pagerank(maxIters = 8).state.collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq.sortBy(_._1)
+      finally g.unpersist()
+    }
+    assert(once() == once(), "salted compile not deterministic")
+  }
+
   test("vid-in-message programs fail fast above 2^53 instead of rounding") {
     // CC labels (and BFS parents) ride double-typed messages — a vid
     // at 2^53 would silently round onto a neighboring id and merge
