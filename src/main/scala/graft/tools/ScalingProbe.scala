@@ -146,11 +146,30 @@ object ScalingProbe {
           EdgeShaping(directed = false, parallelEdges = false)).count()
         ("engine-cc", r.state.count(), nE, r.iterations,
           r.metrics.map(_.wallMs), -1.0, pl)
+      } else if (algo == "conv") {
+        // PageRank to the BASELINE convergence criterion (per-vertex
+        // |Δrank| ≤ 1e-6, maxIters=0 → run until no vertex changed) on
+        // the KERNEL path: proven hash-identical to the engine
+        // (KernelSpec / q_pagerank_kernel vs q_pagerank_top), so the
+        // ITERATION COUNT is exactly what the engine would report, at
+        // a fraction of the bench budget — which is what kept this
+        // sample from being shed in round 4.
+        val g = graft.graph.SpmvKernel.compile(edges, parts)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mode=kernel-conv cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        val (r, pl) = PhaseListener.measure(spark.sparkContext)(
+          g.pagerank(maxIters = 0, tol = 1e-6))
+        r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
+        ("kernel-conv", g.numVertices, g.numEdges, r.iterations,
+          r.metrics.map(_.wallMs), g.edgeImbalance, pl)
       } else if (kernelMode) {
         val g = graft.graph.SpmvKernel.compile(edges, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
+        // mirrors > 0 ⇒ the auto hub-salting engaged (a source owned
+        // more than a quarter-partition of edges); the imbalance field
+        // below then reports the SALTED balance
         println(f"[probe] mode=kernel cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f " +
-          f"exchangeMBPerIter=${g.exchangeDoubles * 8.0 / 1e6}%.1f")
+          f"exchangeMBPerIter=${g.exchangeDoubles * 8.0 / 1e6}%.1f mirrors=${g.mirrorCount}")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.pagerank(maxIters = iters))
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
         ("kernel", g.numVertices, g.numEdges, r.iterations,
