@@ -122,6 +122,12 @@ object Bench {
     out.toString
   }
 
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
   /** JDK17 --add-opens set Spark needs (same list as run_main.sh). */
   private def addOpens: Seq[String] =
     Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java.net",
@@ -151,7 +157,8 @@ object Bench {
   final case class Sample(edges: Long, loopSec: Double, medianIterSec: Double,
                           tput: Double, imbalance: Double, breached: Boolean,
                           gatherMs: Long, applyMs: Long, barrierMs: Long,
-                          medBarrierMs: Long, iters: Int, wallSec: Double)
+                          medBarrierMs: Long, iters: Int, wallSec: Double,
+                          buildSec: Double)
 
   /** Cumulative settle budget across the whole bench — round 3's
     * per-fork 3-minute cap summed to ~35 min of pure sleeping over
@@ -181,7 +188,8 @@ object Bench {
     * the failure. */
   private def prSampleBest(cpus: Int, edgePath: String, iters: Int,
                            k: Int, kernel: Boolean = true,
-                           algo: String = "pr"): Sample = {
+                           algo: String = "pr",
+                           cacheDir: String = null): Sample = {
     val results = scala.collection.mutable.ArrayBuffer.empty[Sample]
     var lastErr: Throwable = null
     var tries = 0
@@ -190,7 +198,7 @@ object Bench {
     while (results.size < k && tries < k + 1 &&
            (tries == 0 || remainingSec > 0)) {
       tries += 1
-      try results += prSampleForked(cpus, edgePath, iters, kernel, algo)
+      try results += prSampleForked(cpus, edgePath, iters, kernel, algo, cacheDir)
       catch {
         case e: Throwable =>
           lastErr = e
@@ -209,7 +217,8 @@ object Bench {
     * fixed-iteration PageRank (stationary) or to-fixpoint CC
     * (nonstationary frontier). */
   private def prSampleForked(cpus: Int, edgePath: String,
-                             iters: Int, kernel: Boolean, algo: String): Sample = {
+                             iters: Int, kernel: Boolean, algo: String,
+                             cacheDir: String = null): Sample = {
     settle()
     val w0 = System.nanoTime()
     val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "48g")
@@ -221,6 +230,7 @@ object Bench {
     pb.environment().put("PROBE_ITERS", iters.toString)
     pb.environment().put("PROBE_KERNEL", if (kernel) "1" else "0")
     pb.environment().put("PROBE_ALGO", algo)
+    if (cacheDir != null) pb.environment().put("GRAFT_KERNEL_CACHE", cacheDir)
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
@@ -238,7 +248,8 @@ object Bench {
       field("imbalance").toDouble, field("balanceBreached").toBoolean,
       field("gatherMs").toLong, field("applyMs").toLong,
       field("barrierMs").toLong, field("medBarrierMs").toLong,
-      field("iters").toInt, (System.nanoTime() - w0) / 1e9)
+      field("iters").toInt, (System.nanoTime() - w0) / 1e9,
+      scala.util.Try(field("buildSec").toDouble).getOrElse(-1.0))
   }
 
   // ---- incremental artifact state ------------------------------------
@@ -318,6 +329,10 @@ object Bench {
     convOpt.foreach { case (it, sec, _) =>
       scalingFields += s""""pr_iters_to_convergence":$it"""
     }
+    S.get("cacheC").foreach(s => scalingFields +=
+      s""""kernel_compile_cold_sec":${f"${s.buildSec}%.1f"}""")
+    S.get("cacheW").foreach(s => scalingFields +=
+      s""""kernel_compile_warm_sec":${f"${s.buildSec}%.1f"}""")
     if (shed.nonEmpty)
       scalingFields += s""""shed":${shed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
@@ -406,6 +421,10 @@ object Bench {
     }
     S.get("kHiE").foreach(s => md ++=
       f"- partition balance: kernel hash(src) imbalance max/mean−1 = ${s.imbalance}%.3f; breached(>0.2)=${s.breached}%n")
+    for (c <- S.get("cacheC"); w <- S.get("cacheW")) md ++=
+      (f"- durable compiled-graph cache (E/16, $hiCores cores): cold compile+save%n" +
+        f"  ${c.buildSec}%.1f s -> warm fingerprint+load ${w.buildSec}%.1f s — a resuming JVM%n" +
+        "  skips the three compile shuffles entirely (CompiledGraphCache)\n")
     if (shed.nonEmpty)
       md ++= s"- shed to fit the wall-clock budget: ${shed.mkString(", ")}\n"
     md ++= "\nSingle-box caveat: all \"executors\" are threads sharing one memory\n"
@@ -559,6 +578,16 @@ object Bench {
     take("conv", required = false)(
       prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "conv"))
     S.get("conv").foreach(s => convOpt = Some((s.iters, s.loopSec, sixteenthRepos)))
+    // durable-compile-cache pair: a COLD fork compiles E/16 and saves
+    // the tile cache, a WARM fork fingerprints, loads and skips the
+    // compile entirely — 1 superstep each (only buildSec matters)
+    val kcacheDir = pSixteenth + s".kcache$hiCores"
+    take("cacheC", required = false) {
+      deleteRecursive(Paths.get(kcacheDir))
+      prSampleBest(hiCores, pSixteenth, 1, k = 1, kernel = true, cacheDir = kcacheDir)
+    }
+    take("cacheW", required = false)(
+      prSampleBest(hiCores, pSixteenth, 1, k = 1, kernel = true, cacheDir = kcacheDir))
     // engine continuity pair + same-table kernel reference point
     take("eLoS", required = false)(
       prSampleBest(loCores, pSixteenth, iters, k = 1, kernel = false))

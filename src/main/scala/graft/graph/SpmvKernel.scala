@@ -307,8 +307,9 @@ object SpmvKernel {
 
   /** Compiled graph handle: `run` any [[KernelProgram]] (or the
     * `pagerank` convenience) any number of times; call `unpersist()`
-    * when done with the graph. */
-  final class CompiledGraph private[SpmvKernel] (
+    * when done with the graph. Construct via [[SpmvKernel.compile]] or
+    * [[CompiledGraphCache.compileOrLoad]]. */
+  final class CompiledGraph private[graph] (
       private[graph] val kernel: RDD[KernelPartition],
       val spark: SparkSession,
       val parts: Int,

@@ -97,6 +97,10 @@ object ScalingProbe {
     // exchange vs the engine's two-hash-aggregation superstep.
     val algo = sys.env.getOrElse("PROBE_ALGO", "pr")
 
+    // build/compile-or-load seconds where the branch has a distinct
+    // build phase (-1 = not applicable) — surfaced in probe-json so
+    // Bench can record cold vs warm compile cost
+    var buildSec = -1.0
     val (mode, nV, nE, rIters, iterWalls, imbalance, pl) =
       if (kernelMode && (algo == "lpa" || algo == "lpaf")) {
         // "lpaf" = the same kernel LPA with the incremental delta path
@@ -108,6 +112,7 @@ object ScalingProbe {
           .select("src", "dst")
         val g = graft.graph.SpmvKernel.compile(und, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
+        buildSec = tBuild
         println(f"[probe] mode=kernel-$algo cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(g.lpa(maxIters = iters))
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
@@ -133,6 +138,7 @@ object ScalingProbe {
           EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
         val g = graft.graph.SpmvKernel.compile(und, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
+        buildSec = tBuild
         println(f"[probe] mode=kernel-cc cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(
           g.run(new CcKernelProgram, maxIters = 0))
@@ -160,6 +166,7 @@ object ScalingProbe {
         // sample from being shed in round 4.
         val g = graft.graph.SpmvKernel.compile(edges, parts)
         val tBuild = (System.nanoTime() - t0) / 1e9
+        buildSec = tBuild
         println(f"[probe] mode=kernel-conv cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(
           g.pagerank(maxIters = 0, tol = 1e-6))
@@ -167,8 +174,16 @@ object ScalingProbe {
         ("kernel-conv", g.numVertices, g.numEdges, r.iterations,
           r.metrics.map(_.wallMs), g.edgeImbalance, pl)
       } else if (kernelMode) {
-        val g = graft.graph.SpmvKernel.compile(edges, parts)
+        // GRAFT_KERNEL_CACHE=<dir> routes the compile through the
+        // durable tile cache: a fingerprint-matching dir loads instead
+        // of compiling (warm buildSec ≈ read cost), a miss compiles and
+        // saves — the Bench cold/warm pair measures both
+        val g = sys.env.get("GRAFT_KERNEL_CACHE") match {
+          case Some(d) => graft.graph.CompiledGraphCache.compileOrLoad(edges, parts, d)
+          case None => graft.graph.SpmvKernel.compile(edges, parts)
+        }
         val tBuild = (System.nanoTime() - t0) / 1e9
+        buildSec = tBuild
         // mirrors > 0 ⇒ the auto hub-salting engaged (a source owned
         // more than a quarter-partition of edges); the imbalance field
         // below then reports the SALTED balance
@@ -188,6 +203,7 @@ object ScalingProbe {
         val wtd = sys.env.getOrElse("PROBE_WEIGHTED", "1") != "0"
         val adj = Adjacency.build(edges.repartition(parts), parts, weighted = wtd)
         val tBuild = (System.nanoTime() - t0) / 1e9
+        buildSec = tBuild
         println(f"[probe] mode=engine cores=$cores parts=$parts V=${adj.numVertices} E=${adj.numEdges} buildSec=$tBuild%.1f")
         val (r, pl) = PhaseListener.measure(spark.sparkContext)(PageRank.run(adj, maxIters = iters))
         r.metrics.foreach(m => println(s"[probe] iter=${m.iter} wallMs=${m.wallMs} active=${m.activeVertices}"))
@@ -222,11 +238,12 @@ object ScalingProbe {
     // (matrix.hpp:562-687) riding along so skew regressions fail loudly
     // in the round bench, not just in unit tests.
     println("[probe-json] " + String.format(java.util.Locale.ROOT,
-      """{"mode":"%s","cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d,"imbalance":%.4f,"balanceBreached":%b,"gatherMs":%d,"applyMs":%d,"barrierMs":%d,"medBarrierMs":%d}""",
+      """{"mode":"%s","cores":%d,"edges":%d,"medianIterSec":%.3f,"loopSec":%.2f,"iters":%d,"imbalance":%.4f,"balanceBreached":%b,"gatherMs":%d,"applyMs":%d,"barrierMs":%d,"medBarrierMs":%d,"buildSec":%.2f}""",
       mode, Int.box(cores), Long.box(nE), Double.box(medianSec),
       Double.box(loopSec), Int.box(rIters), Double.box(imbalance),
       Boolean.box(imbalance > 0.2), Long.box(ph.gatherMs),
-      Long.box(ph.applyMs), Long.box(ph.barrierMs), Long.box(ph.medianBarrierMs)))
+      Long.box(ph.applyMs), Long.box(ph.barrierMs), Long.box(ph.medianBarrierMs),
+      Double.box(buildSec)))
     spark.stop()
   }
 }
