@@ -37,8 +37,12 @@ object CompiledGraphCache {
 
   /** Metadata fingerprint of the edge table + compile params. None when
     * the frame has no input files (in-memory data — nothing stable to
-    * key on; callers then compile unconditionally). */
-  def fingerprint(edges: DataFrame, parts: Int, hubChunk: Long = 0L): Option[String] = {
+    * key on; callers then compile unconditionally). `variant` must name
+    * any TRANSFORMATION between the files and the compiled frame (e.g.
+    * "und-noself" for an undirected dedup shaping): two different
+    * shapes of the same files must never share a fingerprint. */
+  def fingerprint(edges: DataFrame, parts: Int, hubChunk: Long = 0L,
+                  variant: String = "raw"): Option[String] = {
     val files = edges.inputFiles
     if (files.isEmpty) None
     else {
@@ -50,7 +54,7 @@ object CompiledGraphCache {
         md.update(s"$f|${st.getLen}|${st.getModificationTime}\n"
           .getBytes(StandardCharsets.UTF_8))
       }
-      md.update(s"parts=$parts|hubChunk=$hubChunk|v$Version"
+      md.update(s"parts=$parts|hubChunk=$hubChunk|variant=$variant|v$Version"
         .getBytes(StandardCharsets.UTF_8))
       Some(md.digest().map("%02x".format(_)).mkString)
     }
@@ -134,9 +138,9 @@ object CompiledGraphCache {
     * fingerprint; otherwise compile and (when fingerprintable) save.
     * The one-line log makes the chosen path auditable in bench runs. */
   def compileOrLoad(edges: DataFrame, parts: Int, dir: String,
-                    hubChunk: Long = 0L): CompiledGraph = {
+                    hubChunk: Long = 0L, variant: String = "raw"): CompiledGraph = {
     val spark = edges.sparkSession
-    val fp = fingerprint(edges, parts, hubChunk)
+    val fp = fingerprint(edges, parts, hubChunk, variant)
     fp.flatMap(f => load(spark, dir, Some(f))) match {
       case Some(g) =>
         System.err.println(s"[graft] kernel cache HIT at $dir (skipped compile)")

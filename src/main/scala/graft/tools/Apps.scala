@@ -56,13 +56,28 @@ object Apps {
     * kernel analog (a 2-join wedge count, not a superstep loop). */
   def run(spark: SparkSession, app: String, file: String, iters: Int,
           root: Long, parts: Int, weighted: Boolean,
-          kernel: Boolean = false): Summary = {
+          kernel: Boolean = false, cache: Option[String] = None): Summary = {
     val edges = load(spark, file, weighted)
     val t0 = System.nanoTime()
     def sec: Double = (System.nanoTime() - t0) / 1e9
+    // cache=<dir> → durable tile cache (CompiledGraphCache): a rerun on
+    // the same file loads the compiled graph instead of re-tiling. One
+    // subdir per shaping variant — raw (pr/deg/sssp) and the undirected
+    // shapes (cc/bfs) must never share tiles.
+    def comp(df: org.apache.spark.sql.DataFrame, shape: String) = {
+      // weightedness changes the tile layout (weight arrays), so a
+      // weighted and an unweighted load of the same file must not
+      // share a variant either
+      val variant = if (df.columns.contains("w")) s"$shape-w" else shape
+      cache match {
+        case Some(d) => CompiledGraphCache.compileOrLoad(df, parts,
+          s"$d/$variant-p$parts", variant = variant)
+        case None => SpmvKernel.compile(df, parts)
+      }
+    }
     app match {
       case "pr" if kernel =>
-        val g = SpmvKernel.compile(edges, parts)
+        val g = comp(edges, "raw")
         val r = g.pagerank(maxIters = if (iters > 0) iters else 20)
         g.unpersist()
         Summary("pr", r.iterations, r.checksum, None, sec,
@@ -70,14 +85,14 @@ object Apps {
       case "deg" if kernel =>
         // the kernel's degree phase: out-degrees straight off the
         // compiled matrix (pr.cpp:40-49) — no superstep needed
-        val g = SpmvKernel.compile(edges, parts)
+        val g = comp(edges, "raw")
         val d = g.outDegrees.localCheckpoint(true)
         g.unpersist()
         Summary("deg", 1, cks(d, "degree"), None, sec, topOf(d, "degree"), Some(d), "degree")
       case "cc" if kernel =>
         val und = GraphShaping.shape(edges,
           EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
-        val g = SpmvKernel.compile(und, parts)
+        val g = comp(und, "und")
         val r = g.run(new CcKernelProgram, maxIters = 0)
         g.unpersist()
         val st = r.state.select(col("vid"), col("label").cast("long").as("label"))
@@ -87,7 +102,7 @@ object Apps {
         val und = GraphShaping.shape(edges,
           EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
           .select("src", "dst")
-        val g = SpmvKernel.compile(und, parts)
+        val g = comp(und, "und-noself")
         val r = g.run(new BfsKernelProgram(root), maxIters = 0)
         g.unpersist()
         val st = r.state.select(col("vid"), col("parent").cast("long").as("parent"),
@@ -96,7 +111,7 @@ object Apps {
         Summary("bfs", r.iterations, cks(reached, "hops"),
           Some(reached.count()), sec, topOf(reached, "hops"), Some(st), "hops")
       case "sssp" if kernel =>
-        val g = SpmvKernel.compile(edges, parts)
+        val g = comp(edges, "raw")
         val r = g.run(new SsspKernelProgram(root), maxIters = 0)
         g.unpersist()
         val reached = r.state.filter(col("dist").isNotNull)
@@ -146,7 +161,7 @@ object Apps {
     if (args.length < 2) {
       System.err.println("Usage: Apps <pr|deg|cc|bfs|sssp|tc|lpa> <file> " +
         "[<num_vertices>] [<num_iterations>] [root=N] [weighted=true|false] " +
-        "[cores=N] [kernel=true|false]")
+        "[cores=N] [kernel=true|false] [cache=<tile-cache-dir>]")
       sys.exit(1)
     }
     val app = args(0)
@@ -163,6 +178,7 @@ object Apps {
     val weighted = kv.get("weighted").map(_.toBoolean)
       .getOrElse(app == "sssp" && file.endsWith(".bin"))
     val kernel = kv.get("kernel").exists(_.toBoolean)
+    val cache = kv.get("cache")
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -172,7 +188,7 @@ object Apps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val s = run(spark, app, file, iters, root, parts = cores, weighted, kernel)
+    val s = run(spark, app, file, iters, root, parts = cores, weighted, kernel, cache)
     println(s"Iterations: ${s.iterations}")
     println(f"Value checksum: ${s.checksum}%.6f")
     s.reachable.foreach(n => println(s"Reachable vertices: $n"))

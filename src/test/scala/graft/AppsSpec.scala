@@ -60,6 +60,21 @@ class AppsSpec extends SparkTestBase {
       weighted = false, kernel = true)
     assert(deg.checksum == 16384.0) // Σ out-degree = E, same as the engine row
 
+    // cache=<dir>: a second run of the same app loads the tile cache
+    // instead of recompiling and must be checksum-identical; a second
+    // APP on the same cache root must not collide (per-variant subdirs)
+    val kc = Files.createTempDirectory("graft-apps-kcache").toString
+    val prC1 = Apps.run(spark, "pr", sampleBin, iters = 5, root = 0, parts,
+      weighted = false, kernel = true, cache = Some(kc))
+    val prC2 = Apps.run(spark, "pr", sampleBin, iters = 5, root = 0, parts,
+      weighted = false, kernel = true, cache = Some(kc))
+    assert(prC1.checksum == prC2.checksum && prC1.checksum == pr.checksum)
+    val ccC = Apps.run(spark, "cc", sampleBin, iters = 0, root = 0, parts,
+      weighted = false, kernel = true, cache = Some(kc))
+    val ccPlain = Apps.run(spark, "cc", sampleBin, iters = 0, root = 0, parts,
+      weighted = false, kernel = true)
+    assert(ccC.checksum == ccPlain.checksum && ccC.reachable == ccPlain.reachable)
+
     val dir = Files.createTempDirectory("graft-apps-kernel").toString
     Files.writeString(java.nio.file.Paths.get(dir, "g.txt"),
       """0 1
