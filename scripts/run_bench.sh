@@ -10,6 +10,6 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx8g \
+exec java $OPENS -XX:+ExplicitGCInvokesConcurrent -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench > "$LOG" 2>&1

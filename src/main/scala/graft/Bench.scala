@@ -128,12 +128,18 @@ object Bench {
         .forEach(f => Files.deleteIfExists(f))
     }
 
-  /** JDK17 --add-opens set Spark needs (same list as run_main.sh). */
+  /** JDK17 --add-opens set Spark needs (same list as run_main.sh),
+    * plus ExplicitGCInvokesConcurrent: ContextCleaner's periodic
+    * System.gc() (which local mode needs for shuffle-file reaping)
+    * otherwise runs as a STOP-THE-WORLD full collection — measured
+    * 6.1 s at a 32 GB heap, landing INSIDE a timed superstep and
+    * reading as a phantom 3-6× iteration spike in the artifact. */
   private def addOpens: Seq[String] =
     Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java.net",
       "java.nio", "java.util", "java.util.concurrent", "java.util.concurrent.atomic",
       "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
-      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED")) :+
+      "-XX:+ExplicitGCInvokesConcurrent"
 
   /** Child-JVM classpath: this build's classes/jar + the Spark jars
     * directory — derived from code locations, NOT java.class.path
@@ -236,9 +242,21 @@ object Bench {
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
     val line = out.linesIterator.filter(_.startsWith("[probe-json]")).toSeq.lastOption
-      .getOrElse(sys.error(s"probe at $cpus cores produced no summary; cmd:\n" +
-        cmd.mkString(" ") + "\noutput tail:\n" +
-        out.linesIterator.toSeq.takeRight(20).mkString("\n")))
+      .getOrElse {
+        // the 20-line tail is usually shutdown-hook frames; the ROOT
+        // CAUSE is the first thrown line, and the full output goes to
+        // a file so a flaky big-table fork is diagnosable post-run
+        val dump = Paths.get(s"/tmp/graft_probe_fail_${algo}_${cpus}c_${System.currentTimeMillis()}.log")
+        scala.util.Try(Files.writeString(dump, out))
+        val rootCause = out.linesIterator
+          .filter(l => l.contains("Exception") || l.contains("Error") ||
+            l.startsWith("Caused by"))
+          .take(3).mkString("\n")
+        sys.error(s"probe at $cpus cores produced no summary; cmd:\n" +
+          cmd.mkString(" ") + s"\nfull output: $dump\nfirst thrown:\n" + rootCause +
+          "\noutput tail:\n" +
+          out.linesIterator.toSeq.takeRight(20).mkString("\n"))
+      }
     def field(k: String): String =
       s""""$k":([0-9.a-z-]+)""".r.findFirstMatchIn(line).map(_.group(1))
         .getOrElse(sys.error(s"missing $k in $line"))

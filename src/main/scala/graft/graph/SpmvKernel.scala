@@ -213,7 +213,7 @@ object SpmvKernel {
       values: Array[Double],
       active: Array[Long],
       changed: Long,
-      counts: LabelTable = null)
+      counts: SlotMultiset = null)
 
   private def bitGet(bits: Array[Long], i: Int): Boolean =
     (bits(i >>> 6) & (1L << (i & 63))) != 0
@@ -894,17 +894,37 @@ object SpmvKernel {
           preservesPartitioning = false) { (mIt, kIt, sIt) =>
           val kp = kIt.next(); val old = sIt.next()
           val n = kp.vids.length
-          // copy-on-write: a retried/recomputed task must see the OLD
-          // table untouched (same contract as the values clone)
-          val table = if (incremental) old.counts.copy() else new LabelTable(n)
+          // Copy-on-write at SLOT granularity: a retried/recomputed
+          // task must see the OLD counts untouched (same contract as
+          // the values clone). The incremental pass clones only the
+          // per-slot POINTER arrays (O(V/P)) and rebuilds the inner
+          // arrays of touched slots (O(changed)) — never an
+          // O(table-size) pool copy, which would put a term
+          // proportional to E back into every small-frontier superstep.
+          // buffer this partition's packs (already byte arrays; the
+          // absorb holds them all transitively anyway) so the pooled
+          // table can be pre-sized to the exact incoming triple count
+          val packs = mIt.toArray
+          var totalNe = 0L
+          var pi = 0
+          while (pi < packs.length) {
+            totalNe += java.nio.ByteBuffer.wrap(packs(pi)._2).getInt(4)
+            pi += 1
+          }
+          val expected = math.min(totalNe, Int.MaxValue.toLong).toInt
+          val full = if (incremental) null else new LabelTable(n, expected)
+          val snap = if (incremental) old.counts.toSlotCounts else null
+          // incremental deltas land in their own small pooled table
+          // first, then merge per touched slot
+          val into = if (incremental) new LabelTable(n, expected) else full
           val nv = old.values.clone()
           val bits = new Array[Long]((n + 63) >>> 6)
           var changed = 0L
           // absorb every incoming tile's (slot, label, ±count) triples;
-          // the touched list drives the incremental arg-max pass
+          // the touched list drives the incremental merge+arg-max pass
           val touched = new scala.collection.mutable.ArrayBuilder.ofInt
           val seen = if (incremental) new Array[Boolean](n) else null
-          mIt.foreach { case ((_, p), bytes) =>
+          packs.foreach { case ((_, p), bytes) =>
             val slots = kp.inSlots(p)
             val bb = java.nio.ByteBuffer.wrap(bytes)
             val ne = bb.getInt(4)
@@ -917,7 +937,7 @@ object SpmvKernel {
             var t = 0
             while (t < ne) {
               val slot = slots(ib.get(t))
-              table.add(slot, java.lang.Double.doubleToRawLongBits(db.get(t)), cb.get(t))
+              into.add(slot, java.lang.Double.doubleToRawLongBits(db.get(t)), cb.get(t))
               if (seen != null && !seen(slot)) { seen(slot) = true; touched += slot }
               t += 1
             }
@@ -928,8 +948,9 @@ object SpmvKernel {
           // untouched slot's mode is unchanged by construction. Slots
           // with no triples keep their label, exactly like the
           // Engine's left-outer apply.
+          val mult: SlotMultiset = if (incremental) snap else full
           def applySlot(slot: Int): Unit = {
-            val bestBits = table.argmax(slot)
+            val bestBits = mult.argmax(slot)
             if (bestBits != Long.MinValue) {
               val best = java.lang.Double.longBitsToDouble(bestBits)
               if (best != nv(slot * 2)) {
@@ -942,16 +963,21 @@ object SpmvKernel {
           }
           if (incremental) {
             val ts = touched.result()
+            val counter = new LabelCounter
             var j = 0
-            while (j < ts.length) { applySlot(ts(j)); j += 1 }
+            while (j < ts.length) {
+              snap.mergeSlot(ts(j), into, counter)
+              applySlot(ts(j))
+              j += 1
+            }
           } else {
             var slot = 0
             while (slot < n) {
-              if (table.nonEmptyAt(slot)) applySlot(slot)
+              if (full.nonEmptyAt(slot)) applySlot(slot)
               slot += 1
             }
           }
-          Iterator.single(PartState(nv, bits, changed, table))
+          Iterator.single(PartState(nv, bits, changed, mult))
         }.persist(StorageLevel.MEMORY_AND_DISK)
 
         if (lineageTruncateEvery > 0 && (iter + 1) % lineageTruncateEvery == 0)
@@ -1242,7 +1268,7 @@ object SpmvKernel {
     * the label `<`. reset() is O(1) via an epoch stamp; argmax ties
     * break toward the SMALLEST label — identical to
     * algos.LabelPropagation's max(struct(cnt, -label)). */
-  private final class LabelCounter {
+  private[graph] final class LabelCounter {
     private var cap = 256
     private var mask = cap - 1
     private var keys = new Array[Long](cap)
@@ -1279,9 +1305,11 @@ object SpmvKernel {
         j += 1
       }
     }
-    def add(label: Double, count: Int): Unit = {
+    def add(label: Double, count: Int): Unit =
+      addBits(java.lang.Double.doubleToRawLongBits(label), count.toLong)
+    def addBits(labelBits: Long, count: Long): Unit = {
       if (size * 3 >= cap * 2) grow()
-      put(java.lang.Double.doubleToRawLongBits(label), count.toLong)
+      put(labelBits, count)
     }
     /** Scans only this epoch's entries (the used list), not the table. */
     def argmax(): Double = {
@@ -1304,6 +1332,125 @@ object SpmvKernel {
     def countAt(j: Int): Long = cnts(usedIdx(j))
   }
 
+  /** A destination partition's per-(state-slot, label) count multiset —
+    * what the LPA superstep arg-maxes over. Two renditions: the pooled
+    * [[LabelTable]] a FULL superstep builds from the complete recount,
+    * and the per-slot persistent [[SlotCounts]] the incremental
+    * supersteps evolve by structural sharing. */
+  private[graph] sealed trait SlotMultiset extends Serializable {
+    /** Arg-max over the slot's live labels — max count, ties toward the
+      * smallest label (nonnegative-double raw bits: bit `<` IS label
+      * `<`). Long.MinValue when the slot has no live entry. */
+    def argmax(slot: Int): Long
+    /** Per-slot copy-on-write view for the NEXT superstep: shares every
+      * slot's count array; the caller replaces touched slots' arrays
+      * wholesale (mergeSlot), so the receiver stays untouched — the
+      * retry/recompute contract a persisted PartState requires. */
+    def toSlotCounts: SlotCounts
+  }
+
+  private[graph] object SlotCounts {
+    /** Shared "override to no live labels" marker — distinguishes a
+      * slot whose counts all cancelled (scan nothing) from a slot with
+      * no override (scan the base slice). */
+    private val DeadLabs = new Array[Long](0)
+    private val DeadCnts = new Array[Int](0)
+  }
+
+  /** The incremental supersteps' persistent per-slot count store: a
+    * FLAT CSR base (offsets + parallel labelBits/count arrays — three
+    * big allocations at conversion time, no per-slot object storm)
+    * plus a per-slot OVERRIDE layer for slots whose counts have moved
+    * since the base was built. Copy-on-write clones only the two
+    * override pointer arrays (O(slots)); mergeSlot writes a fresh
+    * small override for each touched slot (O(changed)) and never
+    * mutates base or shared overrides — the retry/recompute contract
+    * a persisted PartState requires. Live counts are strictly
+    * positive. */
+  private[graph] final class SlotCounts(
+      private val offsets: Array[Int],
+      private val baseLabs: Array[Long],
+      private val baseCnts: Array[Int],
+      private val ovLabs: Array[Array[Long]],
+      private val ovCnts: Array[Array[Int]]) extends SlotMultiset {
+
+    private[graph] def this(offsets: Array[Int], baseLabs: Array[Long],
+                            baseCnts: Array[Int]) =
+      this(offsets, baseLabs, baseCnts,
+        new Array[Array[Long]](offsets.length - 1),
+        new Array[Array[Int]](offsets.length - 1))
+
+    def argmax(slot: Int): Long = {
+      val ov = ovLabs(slot)
+      var bestCnt = 0
+      var bestKey = Long.MinValue
+      if (ov != null) {
+        val cs = ovCnts(slot)
+        var i = 0
+        while (i < ov.length) {
+          val c = cs(i)
+          if (c > bestCnt || (c == bestCnt && c > 0 && ov(i) < bestKey)) {
+            bestCnt = c; bestKey = ov(i)
+          }
+          i += 1
+        }
+      } else {
+        var i = offsets(slot)
+        val end = offsets(slot + 1)
+        while (i < end) {
+          val c = baseCnts(i)
+          if (c > bestCnt || (c == bestCnt && c > 0 && baseLabs(i) < bestKey)) {
+            bestCnt = c; bestKey = baseLabs(i)
+          }
+          i += 1
+        }
+      }
+      bestKey
+    }
+
+    def toSlotCounts: SlotCounts =
+      new SlotCounts(offsets, baseLabs, baseCnts, ovLabs.clone(), ovCnts.clone())
+
+    /** Replace `slot`'s override with (current ⊎ deltas-from-`delta`),
+      * dropping labels whose counts net to zero. Only ever called on a
+      * freshly cloned override layer (toSlotCounts), so the receiver
+      * this was cloned from stays untouched. `counter` is the caller's
+      * reusable scratch (epoch-reset, O(slot's labels)). */
+    def mergeSlot(slot: Int, delta: LabelTable, counter: LabelCounter): Unit = {
+      counter.reset()
+      val ov = ovLabs(slot)
+      if (ov != null) {
+        val cs = ovCnts(slot)
+        var i = 0
+        while (i < ov.length) { counter.addBits(ov(i), cs(i)); i += 1 }
+      } else {
+        var i = offsets(slot)
+        val end = offsets(slot + 1)
+        while (i < end) { counter.addBits(baseLabs(i), baseCnts(i)); i += 1 }
+      }
+      delta.forSlot(slot)(counter.addBits)
+      var live = 0
+      var j = 0
+      while (j < counter.entries) {
+        if (counter.countAt(j) != 0L) live += 1
+        j += 1
+      }
+      if (live == 0) { ovLabs(slot) = SlotCounts.DeadLabs; ovCnts(slot) = SlotCounts.DeadCnts }
+      else {
+        val nl = new Array[Long](live)
+        val nc = new Array[Int](live)
+        var k = 0
+        j = 0
+        while (j < counter.entries) {
+          val c = counter.countAt(j)
+          if (c != 0L) { nl(k) = counter.keyBitsAt(j); nc(k) = c.toInt; k += 1 }
+          j += 1
+        }
+        ovLabs(slot) = nl; ovCnts(slot) = nc
+      }
+    }
+  }
+
   /** The LPA mode's PERSISTENT per-(state-slot, label) count multiset —
     * the destination-side aggregation state the incremental superstep
     * maintains across iterations so it only has to absorb deltas from
@@ -1315,9 +1462,9 @@ object SpmvKernel {
     * per-slot chain for O(slot's labels) arg-max, plus an open-
     * addressing index keyed (slot, labelBits). Counts are exact ints
     * (≥ 0 by the induction: every −1 removes a contribution a prior +1
-    * added). copy() is the superstep's copy-on-write — a plain array
-    * clone, or a compaction dropping dead (count 0) entries once they
-    * outnumber half the pool, so the table SHRINKS as labels coalesce.
+    * added). A full superstep rebuilds it from scratch; the first
+    * INCREMENTAL superstep after it converts to [[SlotCounts]] once
+    * (toSlotCounts, O(live entries)) and per-slot sharing takes over.
     * Bounded by Σ distinct (dst, label) pairs alive ≤ the partition's
     * in-edge count — the same order as the compiled tiles themselves. */
   private[graph] final class LabelTable private (
@@ -1327,13 +1474,30 @@ object SpmvKernel {
       private var nextArr: Array[Int],
       private var headArr: Array[Int],
       private var idxTable: Array[Int],
-      private var size: Int,
-      private var zeros: Int) extends Serializable {
+      private var size: Int) extends SlotMultiset {
 
     def this(nSlots: Int) = this(new Array[Int](16), new Array[Long](16),
       new Array[Int](16), new Array[Int](16),
       { val h = new Array[Int](math.max(1, nSlots)); java.util.Arrays.fill(h, -1); h },
-      new Array[Int](64), 0, 0)
+      new Array[Int](64), 0)
+
+    /** Pre-sized for a known upper bound on entries (the incoming
+      * triple count): skips the pool-doubling copies and index
+      * rehashes a from-16 growth path would churn through — less
+      * transient garbage in the table-heaviest (early, full-recount)
+      * supersteps. */
+    def this(nSlots: Int, expectedEntries: Int) = this(
+      { var c = 16; while (c < expectedEntries && c < (1 << 30)) c <<= 1
+        new Array[Int](c) },
+      { var c = 16; while (c < expectedEntries && c < (1 << 30)) c <<= 1
+        new Array[Long](c) },
+      { var c = 16; while (c < expectedEntries && c < (1 << 30)) c <<= 1
+        new Array[Int](c) },
+      { var c = 16; while (c < expectedEntries && c < (1 << 30)) c <<= 1
+        new Array[Int](c) },
+      { val h = new Array[Int](math.max(1, nSlots)); java.util.Arrays.fill(h, -1); h },
+      { var c = 64; while (c.toLong * 2 < expectedEntries.toLong * 3 && c < (1 << 30)) c <<= 1
+        new Array[Int](c) }, 0)
 
     def nonEmptyAt(slot: Int): Boolean = headArr(slot) >= 0
 
@@ -1380,7 +1544,6 @@ object SpmvKernel {
       nextArr(size) = headArr(slot); headArr(slot) = size
       idxTable(i) = size + 1
       size += 1
-      zeros += 1 // a fresh entry holds count 0 until add() moves it
       if (size * 3 >= idxTable.length * 2) rehash()
       size - 1
     }
@@ -1388,11 +1551,16 @@ object SpmvKernel {
     def add(slot: Int, lab: Long, d: Int): Unit = {
       if (d == 0) return
       val e = findOrInsert(slot, lab)
-      val before = cntArr(e)
-      val after = before + d
-      cntArr(e) = after
-      if (before == 0) zeros -= 1
-      else if (after == 0) zeros += 1
+      cntArr(e) += d
+    }
+
+    /** Visit the slot's live (labelBits, count ≠ 0) entries. */
+    def forSlot(slot: Int)(f: (Long, Long) => Unit): Unit = {
+      var e = headArr(slot)
+      while (e >= 0) {
+        if (cntArr(e) != 0) f(labArr(e), cntArr(e).toLong)
+        e = nextArr(e)
+      }
     }
 
     /** Arg-max over the slot's live labels — max count, ties toward
@@ -1415,29 +1583,38 @@ object SpmvKernel {
       bestKey
     }
 
-    /** Copy-on-write snapshot for the next superstep; compacts away
-      * dead entries once they outnumber half the pool. */
-    def copy(): LabelTable =
-      if (zeros * 2 <= size)
-        new LabelTable(slotArr.clone(), labArr.clone(), cntArr.clone(),
-          nextArr.clone(), headArr.clone(), idxTable.clone(), size, zeros)
-      else {
-        val live = size - zeros
-        var poolCap = 16
-        while (poolCap < live) poolCap <<= 1
-        var idxCap = 64
-        while (live * 3 >= idxCap * 2) idxCap <<= 1
-        val t = new LabelTable(new Array[Int](poolCap), new Array[Long](poolCap),
-          new Array[Int](poolCap), new Array[Int](poolCap),
-          { val h = new Array[Int](headArr.length); java.util.Arrays.fill(h, -1); h },
-          new Array[Int](idxCap), 0, 0)
-        var e = 0
-        while (e < size) {
-          if (cntArr(e) != 0) t.add(slotArr(e), labArr(e), cntArr(e))
-          e += 1
+    /** One-time conversion to the flat-CSR persistent layout — runs on
+      * the first incremental superstep after a full recount, then
+      * SlotCounts' override sharing takes over. Three big allocations
+      * (offsets + two flat arrays), no per-slot objects. Dead (count 0)
+      * entries are dropped; per-slot order follows the chain (argmax
+      * is order-independent, and counts are never serialized to a
+      * checkpoint, so the order is free). */
+    def toSlotCounts: SlotCounts = {
+      val nSlots = headArr.length
+      val offsets = new Array[Int](nSlots + 1)
+      var live = 0
+      var e = 0
+      while (e < size) { if (cntArr(e) != 0) { offsets(slotArr(e) + 1) += 1; live += 1 }; e = e + 1 }
+      var slot = 0
+      while (slot < nSlots) { offsets(slot + 1) += offsets(slot); slot += 1 }
+      val labs = new Array[Long](live)
+      val cnts = new Array[Int](live)
+      // fill via a moving cursor per slot (re-walk the pool; entries of
+      // one slot land contiguously in chain order)
+      val cursor = java.util.Arrays.copyOf(offsets, nSlots)
+      e = 0
+      while (e < size) {
+        if (cntArr(e) != 0) {
+          val s = slotArr(e)
+          val k = cursor(s)
+          labs(k) = labArr(e); cnts(k) = cntArr(e)
+          cursor(s) = k + 1
         }
-        t
+        e += 1
       }
+      new SlotCounts(offsets, labs, cnts)
+    }
   }
 
   /** Compile an edge table (src, dst[, w]) into the tiled kernel form.

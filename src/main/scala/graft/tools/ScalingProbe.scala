@@ -62,9 +62,13 @@ object ScalingProbe {
       // long superstep loops produce one ~E-sized shuffle per
       // iteration; ContextCleaner only reaps the files after a driver
       // GC notices the dropped references (default periodic GC 30min —
-      // iter walls were measured drifting up as /tmp filled)
+      // iter walls were measured drifting up as /tmp filled). 120s
+      // (not 45s): a typical 60-100 s sample now sees ≤1 firing, and
+      // the launcher's -XX:+ExplicitGCInvokesConcurrent makes that
+      // firing a concurrent cycle, not the 6 s stop-the-world full
+      // collection that was spiking one random superstep per run.
       .config("spark.cleaner.periodicGC.interval",
-        tuned("spark.cleaner.periodicGC.interval", "45s"))
+        tuned("spark.cleaner.periodicGC.interval", "120s"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
