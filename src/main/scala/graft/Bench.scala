@@ -573,21 +573,21 @@ object Bench {
     // budget — and the continuity signal only needs a trend)
     lastCost = 120.0
     take("ccK", required = false)(
-      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "cc"))
+      prSampleBest(hiCores, pSixteenth, iters, k = samples, kernel = true, algo = "cc"))
     take("ccE", required = false)(
-      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "cc"))
+      prSampleBest(hiCores, pSixteenth, iters, k = samples, kernel = false, algo = "cc"))
     // multiset-combiner pair: frequency LPA, kernel vs engine, fixed
     // 10-superstep budget on the 16th table (the label-count triple
     // exchange vs the engine's two-hash-agg superstep)
     take("lpaK", required = false)(
-      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "lpa"))
+      prSampleBest(hiCores, pSixteenth, iters, k = samples, kernel = true, algo = "lpa"))
     take("lpaE", required = false)(
-      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = false, algo = "lpa"))
+      prSampleBest(hiCores, pSixteenth, iters, k = samples, kernel = false, algo = "lpa"))
     // incremental-vs-full A/B twin: the same kernel LPA with the
     // persistent-count delta path disabled (every superstep recounts
     // all E edges) — isolates what the incremental mode buys
     take("lpaF", required = false)(
-      prSampleBest(hiCores, pSixteenth, iters, k = 1, kernel = true, algo = "lpaf"))
+      prSampleBest(hiCores, pSixteenth, iters, k = samples, kernel = true, algo = "lpaf"))
     // convergence criterion (kernel PR to |Δrank| ≤ 1e-6 on E/16 —
     // proven hash-identical to the engine, so the iteration count is
     // the engine's number at a fraction of the cost). Ranked ABOVE the

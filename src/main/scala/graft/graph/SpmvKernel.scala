@@ -1822,6 +1822,13 @@ object SpmvKernel {
     while (q < P) {
       val ss = bufS(q).result(); val dd = bufD(q).result()
       val ww = if (bufW != null) bufW(q).result() else null
+      // release each tile's builders as soon as they are drained —
+      // result() copies, so holding the builder doubles the tile's
+      // bytes; across all P builders that peak OOM'd an 8-partition
+      // compile of the 460M-edge table (each partition stages E/8
+      // edges through these buffers)
+      bufS(q) = null; bufD(q) = null
+      if (bufW != null) bufW(q) = null
       if (ss.nonEmpty) {
         val n = ss.length
         // deterministic tile layout: edges in ascending SOURCE-SLOT
