@@ -32,13 +32,48 @@ object SparkEntry {
   private def parts(spark: SparkSession): Int =
     spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Exact row count of a projection over a single parquet relation,
+    * read DRIVER-SIDE from the parquet footers (row-group counts) —
+    * the same number `df.count()` returns, without launching a job.
+    * Falls back to `df.count()` for any other plan shape (filters,
+    * joins, checkpointed RDDs). */
+  private def fastRowCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => strip(c)
+      case other => other
+    }
+    strip(df.queryExecution.optimizedPlan) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+          if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          try fs.location.inputFiles.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+          catch { case scala.util.control.NonFatal(_) => df.count() }
+        case _ => df.count()
+      }
+      case _ => df.count()
+    }
+  }
+
   /** Partition count sized to the graph: ~100k edges per partition,
     * capped at the session's shuffle partitions (so at real scale it
     * IS spark.sql.shuffle.partitions — this only right-sizes the
     * iterative superstep jobs on small derived graphs, where
-    * task-launch overhead × supersteps would otherwise dominate). */
+    * task-launch overhead × supersteps would otherwise dominate).
+    * The size probe reads parquet footers driver-side when it can
+    * (identical count, no job — the old `edges.count()` was a full
+    * scan job repeated by every graph query). */
   private def graphParts(spark: SparkSession, edges: DataFrame): Int = {
-    val e = edges.count()
+    val e = fastRowCount(edges)
     math.max(2, math.min(parts(spark), (e / 100000L).toInt + 1))
   }
 
@@ -85,15 +120,20 @@ object SparkEntry {
     "q_degree_in" -> ((s, d) => Degree.in(edges(s, d))),
     "q_vertex_classes" -> ((s, d) => {
       // reference classify_vertices (matrix.hpp:1125-1282): regular =
-      // in∩out, source = out-only, sink = in-only
+      // in∩out, source = out-only, sink = in-only. The three class
+      // streams (still the semi/anti-join classification) are tagged
+      // and union'd so ONE aggregation job returns all three counts —
+      // the three separate .count() actions ran 16 AQE jobs.
       val e = edges(s, d)
       val outV = e.select(col("src").as("vid")).distinct()
       val inV = e.select(col("dst").as("vid")).distinct()
-      val regular = outV.join(inV, Seq("vid"), "left_semi").count()
-      val source = outV.join(inV, Seq("vid"), "left_anti").count()
-      val sink = inV.join(outV, Seq("vid"), "left_anti").count()
-      val sp = s; import sp.implicits._
-      Seq((regular, source, sink)).toDF("n_regular", "n_source", "n_sink")
+      val tagged = outV.join(inV, Seq("vid"), "left_semi").select(lit(0).as("k"))
+        .unionAll(outV.join(inV, Seq("vid"), "left_anti").select(lit(1).as("k")))
+        .unionAll(inV.join(outV, Seq("vid"), "left_anti").select(lit(2).as("k")))
+      tagged.agg(
+        coalesce(sum(when(col("k") === 0, 1L).otherwise(0L)), lit(0L)).as("n_regular"),
+        coalesce(sum(when(col("k") === 1, 1L).otherwise(0L)), lit(0L)).as("n_source"),
+        coalesce(sum(when(col("k") === 2, 1L).otherwise(0L)), lit(0L)).as("n_sink"))
     }),
 
     // ---- graph algorithms (J-/A-family; exact parity vs reference semantics)
@@ -103,7 +143,13 @@ object SparkEntry {
       Seq(n).toDF("n_triangles")
     }),
     "q_pagerank_top" -> ((s, d) => {
-      val adj = Adjacency.build(edges(s, d), parts(s))  // dense stationary gather: compute-bound, full parallelism
+      // graph-sized partitioning (guide §2: derive parts from input
+      // size): at sf0.1 the 20-superstep loop is task-launch-bound, not
+      // compute-bound — 32-wide stages cost more in scheduling than the
+      // ~100k-edge-per-partition gather saves; at real scale graphParts
+      // IS spark.sql.shuffle.partitions.
+      val e = edges(s, d)
+      val adj = Adjacency.build(e, graphParts(s, e))
       PageRank.run(adj, maxIters = 20).state
         .select(col("vid"), round(col("rank"), 6).as("rank"))
         .orderBy(desc("rank"), asc("vid")).limit(25)

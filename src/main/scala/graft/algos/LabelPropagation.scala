@@ -53,15 +53,41 @@ object LabelPropagation {
     * supersteps plus a final snapshot. */
   def runOnAdjacency(adj: Adjacency, maxIters: Int,
                      ckpt: Option[CheckpointManager] = None): RunResult = {
+    // same loop-session clone as Engine.run (AQE off, hash joins,
+    // graph-sized exchanges): LPA previously looped on the CALLER's
+    // session, where AQE re-planned every superstep micro-job into
+    // several jobs — measured 31 jobs for a 5-superstep q_lpa run.
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val caller = adj.out.sparkSession
+    val loop = Engine.loopSession(caller, adj.parts)
+    val r = lpaLoop(Adjacency.rebind(adj, loop), maxIters, ckpt)
+    RunResult(SessionBridge.rebind(caller, r.state), r.iterations, r.metrics)
+  }
+
+  private def lpaLoop(adj: Adjacency, maxIters: Int,
+                      ckpt: Option[CheckpointManager]): RunResult = {
     val spark = adj.out.sparkSession
     val metrics = ArrayBuffer.empty[IterMetrics]
     val resumed = ckpt.flatMap(c => c.latestIter().map(i => (i, c.load(spark, i, "lpa"))))
-    var state = resumed.map(_._2)
-      .getOrElse(adj.vertices
-        .select(col("vid"), col("vid").as("label"), lit(true).as("changed")))
-      .localCheckpoint(true)
     var iter = resumed.map(_._1).getOrElse(0)
-    var active = state.filter(col("changed")).count()
+    var active = 0L
+    var state = resumed match {
+      case Some((_, st)) =>
+        val s = st.localCheckpoint(true)
+        active = s.filter(col("changed")).count()
+        s
+      case None =>
+        // init count rides the materializing job (observe), like Engine
+        val obs = adj.vertices
+          .select(col("vid"), col("vid").as("label"), lit(true).as("changed"))
+          .observe("graft_lpa_init", sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
+        val s = obs.localCheckpoint(true)
+        active = obs.queryExecution.observedMetrics.get("graft_lpa_init") match {
+          case Some(row) if !row.isNullAt(0) => row.getLong(0)
+          case _ => s.filter(col("changed")).count()
+        }
+        s
+    }
     var prevState: DataFrame = null
 
     while (active > 0 && iter < maxIters) {
@@ -70,9 +96,13 @@ object LabelPropagation {
         s"lpa superstep $iter", interruptOnCancel = false)
       // SHUFFLE_HASH: state is a localCheckpoint LogicalRDD with
       // unknown stats — same sort-merge-fallback hazard as Engine's
-      // gather join (Engine.scala:108-117).
-      val msgs = state.select(col("vid"), col("label").as("msg"))
-        .repartition(adj.parts, col("vid")).hint("SHUFFLE_HASH")
+      // gather join. NO explicit repartition: the localCheckpoint
+      // preserves the hash(vid, parts) partitioning of the previous
+      // apply join (init state inherits it from the vertex table), so
+      // the gather join is already co-partitioned with the adjacency —
+      // the old per-superstep repartition was a second V-sized exchange
+      // that moved rows onto the exact partitions they were on.
+      val msgs = state.select(col("vid"), col("label").as("msg")).hint("SHUFFLE_HASH")
 
       val newLabels = adj.out
         .join(msgs, adj.out("src") === msgs("vid"), "inner")

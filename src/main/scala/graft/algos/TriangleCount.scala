@@ -42,16 +42,30 @@ object TriangleCount {
           col("v")).otherwise(col("u")).as("dst"))
   }
 
-  /** Global exact triangle count: wedge join + closing-edge semi join. */
+  /** Global exact triangle count — node-iterator over the degree-
+    * oriented graph: Σ_{(u,v)∈o} |N⁺(u) ∩ N⁺(v)|. Each triangle has
+    * exactly one orientation x→y, y→z, x→z, and z is counted exactly
+    * once, as a common out-neighbor on edge (x,y) — the same count the
+    * wedge-join form produced, without ever materializing the wedge
+    * set: the earlier e1⋈e2 plan generated Σ indeg·outdeg rows
+    * (≈90M at sf0.1, the query's entire cost) and shuffled them into a
+    * semi join, where this shape moves only the E edge rows plus a
+    * V-row adjacency-list table whose arrays are O(√E) by the degree
+    * orientation. */
   def count(edges: DataFrame, parts: Int): Long = {
     val o = orient(edges).repartition(parts, col("src")).persist()
     try {
-      val e1 = o.as("e1")
-      val e2 = o.as("e2")
-      val wedges = e1.join(e2, col("e1.dst") === col("e2.src"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      val closing = o.select(col("src").as("a"), col("dst").as("c"))
-      wedges.join(closing, Seq("a", "c"), "left_semi").count()
+      // sorted adjacency lists: deterministic layout (contents are a
+      // set either way — intersection size is order-invariant)
+      val adjl = o.groupBy(col("src").as("vid"))
+        .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      val withLists = o
+        .join(adjl.select(col("vid").as("src"), col("ns").as("ns_u")), "src")
+        .join(adjl.select(col("vid").as("dst"), col("ns").as("ns_v")), "dst")
+      withLists
+        .agg(coalesce(sum(size(array_intersect(col("ns_u"), col("ns_v"))).cast("long")),
+          lit(0L)))
+        .head.getLong(0)
     } finally o.unpersist()
   }
 }

@@ -54,6 +54,16 @@ object Adjacency {
   def withVertices(a: Adjacency, vertices: DataFrame): Adjacency =
     new Adjacency(a.out, vertices, a.numVertices, a.numEdges, a.parts, a.weighted)
 
+  /** Same adjacency with both frames re-bound to another session (the
+    * loop-session clone Engine/LabelPropagation run their supersteps
+    * on — see Engine.loopSession). */
+  private[graft] def rebind(a: Adjacency, spark: SparkSession): Adjacency = {
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    new Adjacency(SessionBridge.rebind(spark, a.out),
+      SessionBridge.rebind(spark, a.vertices),
+      a.numVertices, a.numEdges, a.parts, a.weighted)
+  }
+
   /** Default neighbor-array chunk size. 2^13 structs ≈ 128 KiB per row
     * — big enough to amortize per-row overhead, small enough that a
     * 10^8-degree hub becomes ~12k balanced rows instead of one 1.6 GB
@@ -105,15 +115,23 @@ object Adjacency {
       .agg(collect_list(nbrElem).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // repartition BEFORE distinct: hash(vid, parts) satisfies the
+    // dedup aggregation's required distribution AND is the layout the
+    // engine wants, so one exchange does both (distinct-then-
+    // repartition paid a second, session-width exchange).
     val vertices = e.select(col("src").as("vid"))
       .unionAll(e.select(col("dst").as("vid")))
-      .distinct()
       .repartition(parts, col("vid"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nV = vertices.count()
-    val nE = e.count()
-    out.count() // materialize the CSR cache here, not in superstep 1
+    // ONE job both materializes the CSR cache and returns the edge
+    // count (Σ|nbrs| ≡ e.count() — salting splits a source's edges
+    // across rows but never duplicates an edge), replacing the two
+    // separate count jobs of the round-5 build.
+    val nE = out.agg(coalesce(sum(size(col("nbrs")).cast("long")), lit(0L)))
+      .head.getLong(0)
     e.unpersist(false) // out+vertices are materialized; edge blocks done
     new Adjacency(out, vertices, nV, nE, parts, keepW)
   }

@@ -33,7 +33,29 @@ import graft.graph.SpmvKernel.{CompiledGraph, KernelPartition}
   */
 object CompiledGraphCache {
   private val Magic = 0x47524654 // "GRFT"
-  private val Version = 1
+  // v2: part-file headers carry the fingerprint (verified on load
+  // against the manifest), and save() invalidates the old manifest
+  // before touching part files — a crash mid-save can no longer leave
+  // graph A's manifest pointing at graph B's parts.
+  private val Version = 2
+
+  /** Hadoop conf made serializable for task-side file IO (save/load
+    * tasks previously built `new Configuration()`, dropping any
+    * session-level FS settings — credentials, defaultFS). Spark's own
+    * SerializableConfiguration is private[spark]; this is the same
+    * four-line idiom. */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   /** Metadata fingerprint of the edge table + compile params. None when
     * the frame has no input files (in-memory data — nothing stable to
@@ -64,16 +86,27 @@ object CompiledGraphCache {
   private def manifestPath(dir: String) = new Path(dir, "_manifest.json")
 
   /** Persist the compiled tiles: each partition writes its own file
-    * (task-side, parallel), then the driver writes the manifest. */
+    * (task-side, parallel), then the driver writes the manifest. The
+    * OLD manifest is deleted first, so a save that dies mid-way leaves
+    * an unloadable directory instead of a manifest paired with another
+    * graph's part files; each part header embeds the fingerprint and
+    * load() verifies it. */
   def save(g: CompiledGraph, dir: String, fingerprint: String): Unit = {
+    val hadoopConf = g.spark.sparkContext.hadoopConfiguration
+    val mp0 = manifestPath(dir)
+    val fs0 = mp0.getFileSystem(hadoopConf)
+    if (fs0.exists(mp0)) fs0.delete(mp0, false)
+    val confB = g.spark.sparkContext.broadcast(new SerializableHadoopConf(hadoopConf))
+    val fp = fingerprint
     val written = g.kernel.mapPartitionsWithIndex { (p, it) =>
       val kp = it.next()
       val path = partPath(dir, p)
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(confB.value.value)
       val out = new ObjectOutputStream(
         new BufferedOutputStream(fs.create(path, true), 1 << 20))
       try {
         out.writeInt(Magic); out.writeInt(Version); out.writeInt(p)
+        out.writeUTF(fp)
         out.writeObject(kp)
       } finally out.close()
       Iterator.single(1L)
@@ -109,6 +142,9 @@ object CompiledGraphCache {
     val fp = manifestField(mf, "fingerprint")
     if (expectFingerprint.isDefined && fp != expectFingerprint) return None
     val parts = manifestField(mf, "parts").get.toInt
+    val manifestFp = fp.getOrElse("")
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val kernel = spark.sparkContext.parallelize(0 until parts, parts)
       .mapPartitionsWithIndex { (p, it) =>
         // parallelize slices a range positionally: partition p holds
@@ -116,17 +152,29 @@ object CompiledGraphCache {
         val elem = it.next()
         require(elem == p && !it.hasNext, s"cache partition order broke: $elem != $p")
         val path = partPath(dir, p)
-        val fsT = path.getFileSystem(new Configuration())
+        val fsT = path.getFileSystem(confB.value.value)
         val in = new ObjectInputStream(
           new BufferedInputStream(fsT.open(path), 1 << 20))
         try {
           require(in.readInt() == Magic && in.readInt() == Version,
             s"bad cache header in $path")
           require(in.readInt() == p, s"cache file $path holds another partition")
+          require(in.readUTF() == manifestFp,
+            s"cache file $path was written for another fingerprint " +
+              "(torn save into a reused directory?)")
           Iterator.single(in.readObject().asInstanceOf[KernelPartition])
         } finally in.close()
       }.persist(StorageLevel.MEMORY_AND_DISK)
-    kernel.count()
+    // a corrupt/torn/foreign part file surfaces here — fall back to a
+    // fresh compile instead of failing the caller
+    try kernel.count()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        kernel.unpersist(false)
+        System.err.println(s"[graft] kernel cache at $dir unreadable " +
+          s"(${e.getMessage.linesIterator.nextOption().getOrElse("")}) — recompiling")
+        return None
+    }
     Some(new CompiledGraph(kernel, spark, parts,
       manifestField(mf, "numVertices").get.toLong,
       manifestField(mf, "numEdges").get.toLong,

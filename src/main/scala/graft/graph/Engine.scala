@@ -15,14 +15,19 @@ final case class RunConfig(
     /** Broadcast the message table instead of shuffling it when the
       * messaging side has at most this many vertices — the Spark-native
       * form of the reference's dense-bcast vs sparse-p2p switch
-      * (vp:194, 754-784). Broadcast is a SERIAL driver-side collect +
-      * hash-relation build per superstep, so the threshold must stay
-      * small (measured: broadcasting 10^6-row messages made supersteps
-      * 5× slower than the parallel co-partitioned shuffle). On a
-      * frontier algorithm the shrinking frontier flips this true
-      * mid-run, exactly like the reference's 0.6-density activity
-      * filtering. */
-    broadcastMaxVertices: Long = 100000,
+      * (vp:194, 754-784). DEFAULT 0 (off, round 6): the state is
+      * hash(vid, parts)-co-partitioned with the adjacency by
+      * construction, so the SHUFFLE_HASH branch is already
+      * exchange-free — the broadcast bought nothing and cost one
+      * driver-side collect job + relation build PER SUPERSTEP
+      * (measured: q_pagerank_top 51→31 jobs and every frontier query
+      * faster with the flip off; broadcasting 10^6-row messages was
+      * additionally 5× slower than the co-partitioned shuffle). The
+      * flip remains available for callers whose message side is NOT
+      * co-partitioned (e.g. a resumed checkpoint with foreign
+      * partitioning), where one broadcast beats a per-superstep
+      * exchange. */
+    broadcastMaxVertices: Long = 0,
     ckpt: Option[CheckpointManager] = None)
 
 final case class RunResult(state: DataFrame, iterations: Int, metrics: Seq[IterMetrics]) {
@@ -52,30 +57,43 @@ final case class RunResult(state: DataFrame, iterations: Int, metrics: Seq[IterM
   */
 object Engine {
 
-  def run(adj: Adjacency, program: VertexProgram, cfg: RunConfig = RunConfig()): RunResult = {
-    import org.apache.spark.sql.graftbridge.SessionBridge
-    val caller = adj.out.sparkSession
-    // The loop wants hash joins (the adjacency side would otherwise be
-    // re-sorted every iteration) and AQE OFF (it re-plans every stage
-    // of every superstep micro-job — pure overhead, ~150ms/superstep at
-    // local[32], when the loop's partitioning is fixed by
-    // construction). Both are session-global flags, so the loop runs on
-    // a CLONED session (same SparkContext — caches, checkpoint blocks
-    // and the block manager are shared) with the caller's runtime confs
-    // copied over: a concurrent analytical query on the caller's
-    // session keeps AQE skew handling even while a loop is live
-    // (Dedup.duplicateClusters nests this loop inside user queries).
+  /** Clone `caller` into a superstep-loop session: hash joins (the
+    * adjacency side would otherwise be re-sorted every iteration), AQE
+    * OFF (it re-plans every stage of every superstep micro-job — pure
+    * overhead, ~150ms/superstep at local[32], when the loop's
+    * partitioning is fixed by construction), and exchanges sized to the
+    * GRAPH (`parts`), not the session default: the adjacency is
+    * hash(src, parts)-partitioned, so running the superstep
+    * groupBy/apply at the session's shuffle.partitions would
+    * (a) re-exchange state to the session width on superstep 1 and
+    * (b) schedule session-width stages for a graph the builder already
+    * right-sized (Adjacency/graphParts cap parts at the session value,
+    * so at real scale the width line is a no-op; on small derived
+    * graphs it cuts per-superstep task count ~4×). All three are
+    * session-global flags, so the loop runs on a CLONED session (same
+    * SparkContext — caches, checkpoint blocks and the block manager are
+    * shared) with the caller's runtime confs copied over: a concurrent
+    * analytical query on the caller's session keeps AQE skew handling
+    * even while a loop is live (Dedup.duplicateClusters nests this
+    * loop inside user queries). Shared with LabelPropagation's loop. */
+  private[graft] def loopSession(caller: org.apache.spark.sql.SparkSession,
+                                 parts: Int): org.apache.spark.sql.SparkSession = {
     val loop = caller.newSession()
     caller.conf.getAll.foreach { case (k, v) =>
       scala.util.Try(loop.conf.set(k, v)) // static confs refuse runtime set — skip
     }
     loop.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     loop.conf.set("spark.sql.adaptive.enabled", "false")
-    val loopAdj = new Adjacency(
-      SessionBridge.rebind(loop, adj.out), SessionBridge.rebind(loop, adj.vertices),
-      adj.numVertices, adj.numEdges, adj.parts, adj.weighted)
+    loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    loop
+  }
+
+  def run(adj: Adjacency, program: VertexProgram, cfg: RunConfig = RunConfig()): RunResult = {
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val caller = adj.out.sparkSession
+    val loop = loopSession(caller, adj.parts)
     val metrics = ArrayBuffer.empty[IterMetrics]
-    val r = runLoop(loopAdj, program, cfg, metrics)
+    val r = runLoop(Adjacency.rebind(adj, loop), program, cfg, metrics)
     // hand the final state back bound to the CALLER's session so
     // downstream one-shot queries over it run with the caller's conf
     RunResult(SessionBridge.rebind(caller, r.state), r.iterations, r.metrics)
@@ -88,10 +106,25 @@ object Engine {
     val resumed = cfg.ckpt.flatMap(c => c.latestIter().map(i =>
       (i, c.load(spark, i, program.name))))
     var iter = resumed.map(_._1).getOrElse(0)
-    var state = resumed.map(_._2)
-      .getOrElse(program.init(adj.vertices))
-      .localCheckpoint(true)
-    var active = state.filter(col("changed")).count()
+    // the initial active count rides the init-materializing job as a
+    // CollectMetrics accumulator (same observe trick as the superstep
+    // loop below) instead of a second count job
+    var active = 0L
+    var state = resumed match {
+      case Some((_, st)) =>
+        val s = st.localCheckpoint(true)
+        active = s.filter(col("changed")).count()
+        s
+      case None =>
+        val obs = program.init(adj.vertices).observe("graft_init_active",
+          sum(when(col("changed"), 1L).otherwise(0L)).as("active"))
+        val s = obs.localCheckpoint(true)
+        active = obs.queryExecution.observedMetrics.get("graft_init_active") match {
+          case Some(row) if !row.isNullAt(0) => row.getLong(0)
+          case _ => s.filter(col("changed")).count() // empty graph / miss
+        }
+        s
+    }
     var prevState: DataFrame = null
 
     // Fixed-budget mode runs the full budget for stationary programs —

@@ -1507,8 +1507,20 @@ object SpmvKernel {
       h.toInt
     }
 
+    /** Unconditional `<< 1` past 2^30 would overflow to a negative
+      * array size deep inside a superstep; fail with the actual limit
+      * instead (per-partition live (dst,label) cardinality > ~10^9
+      * means the partition count is wrong for the data). */
+    private def grownCap(cur: Int, what: String): Int = {
+      if (cur >= (1 << 30))
+        throw new IllegalStateException(
+          s"LabelTable $what exceeds 2^30 entries in one partition — " +
+            "raise the partition count so per-partition label cardinality fits")
+      cur << 1
+    }
+
     private def growPool(): Unit = {
-      val cap = slotArr.length << 1
+      val cap = grownCap(slotArr.length, "entry pool")
       slotArr = java.util.Arrays.copyOf(slotArr, cap)
       labArr = java.util.Arrays.copyOf(labArr, cap)
       cntArr = java.util.Arrays.copyOf(cntArr, cap)
@@ -1516,7 +1528,7 @@ object SpmvKernel {
     }
 
     private def rehash(): Unit = {
-      val cap = idxTable.length << 1
+      val cap = grownCap(idxTable.length, "hash index")
       val mask = cap - 1
       val nt = new Array[Int](cap)
       var e = 0
@@ -1704,12 +1716,13 @@ object SpmvKernel {
             preservesPartitioning = false)
       }
 
+    // No materializing count() here: the nV/nE fold job below computes
+    // `compiled` in its meta shuffle-map stage, which caches these
+    // partitions as a side effect — one job fewer per compile.
     val compiled: RDD[(KernelPartition, Array[Array[Long]])] =
       verts.zipPartitions(degs, eTiles, preservesPartitioning = true) { (vIt, dIt, eIt) =>
         Iterator.single(compilePartition(parts, hp, hubMap, vIt, dIt, eIt, weighted))
       }.persist(StorageLevel.MEMORY_AND_DISK)
-    compiled.count()
-    eRdd.unpersist(false)
 
     // one-time exchange of each tile's (sorted) destination-id list to
     // its owner partition → per-(p,q) slot mappings
@@ -1746,6 +1759,7 @@ object SpmvKernel {
         kp.mirrorVids.length.toLong))
       .fold((0L, 0L, 0L)) { case ((v1, e1, m1), (v2, e2, m2)) =>
         (v1 + v2, e1 + e2, m1 + m2) }
+    eRdd.unpersist(false) // kernel + compiled are materialized now
     compiled.unpersist(false)
     new CompiledGraph(kernel, spark, parts, nV, nE, weighted, nMir)
   }

@@ -81,7 +81,15 @@ object Similarity {
     * mode.) */
   def srpBucketLit(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
-      val warr = array(w.map(lit): _*)
+      // ONE ArrayType literal per plane, not a CreateArray of `dim`
+      // scalar literals: the per-plane value is identical (constant
+      // folding collapses the CreateArray form to this literal
+      // eventually), but the analyzer/optimizer walk the unfolded tree
+      // several times first — with tables×planes×dim = 2048 literal
+      // nodes per projection that planning overhead was the dominant
+      // cost of the LSH queries (measured: q_ann_lsh 6.5 s cold /
+      // 1.5 s warm at sf0.1 with 6 single-task stages — all plan time).
+      val warr = typedlit(w.toIndexedSeq)
       when(dot(emb, warr) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
