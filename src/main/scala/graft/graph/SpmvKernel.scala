@@ -162,6 +162,59 @@ object SpmvKernel {
     override def hashCode: Int = numPartitions
   }
 
+  /** One packed edge chunk of the compile exchange: parallel primitive
+    * arrays instead of per-edge (Long,(Long,Double)) tuples — the
+    * serializer sees ~P² array records rather than E boxed tuples
+    * (same packing idea as the superstep accumulator exchange), which
+    * is equally fast under the SQL session's default JavaSerializer
+    * (the per-query compiles) and under the probes' Kryo. */
+  private[graph] final case class EdgeChunk(
+      srcs: Array[Long], dsts: Array[Long], ws: Array[Double]) // ws null → unweighted
+
+  /** Open-addressing Long→Long counter with growth — compile-phase
+    * degree/distinct bookkeeping (boxed HashMap was measured as the
+    * dominant constant in the old per-edge tuple shuffles). */
+  private final class LongCounter(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2 - 1)
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    private def insertRaw(k: Long, v: Long): Unit = {
+      var i = idx(k)
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) { used(i) = true; keys(i) = k; n += 1 }
+      vals(i) += v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) insertRaw(ok(i), ov(i)); i += 1 }
+    }
+    def add(k: Long, d: Long): Unit = {
+      if ((n + 1) * 3 >= cap * 2) grow()
+      insertRaw(k, d)
+    }
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+    def entriesAbove(floor: Long): List[(Long, Long)] = {
+      var out = List.empty[(Long, Long)]
+      foreachEntry((k, v) => if (v > floor) out = (k, v) :: out)
+      out
+    }
+  }
+
   /** One compiled CSR tile (p, q): edges of source-partition p whose
     * destinations hash to partition q. `srcSlots` indexes the owning
     * partition's state arrays; `dstLocal` indexes the tile's (sorted,
@@ -1654,74 +1707,134 @@ object SpmvKernel {
     val weighted = edges.columns.contains("w")
     val hp = new HashPartitioner(parts)
     val idPart = new IdPartitioner(parts)
+    val P = parts
+    val wtd = weighted
 
-    // InternalRow scan (no per-row Row allocation): compile reads the
-    // edge table exactly once and this is its hottest build stage
-    val eRdd: RDD[(Long, (Long, Double))] =
+    // InternalRow scan (no per-row Row allocation) bucketed map-side
+    // into PACKED per-target EdgeChunks: the old per-edge boxed-tuple
+    // partitionBy was the compile's dominant cost (profiled 2.4 s of a
+    // 7.2 s compile at 28.8M edges/32c under Kryo, worse under the SQL
+    // session's JavaSerializer); the chunk exchange moves the same
+    // bytes as ~P² primitive-array records.
+    val scan =
       (if (weighted)
         edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)",
-          "CAST(COALESCE(w, 1.0) AS DOUBLE)").queryExecution.toRdd
-          .map(ir => (ir.getLong(0), (ir.getLong(1), ir.getDouble(2))))
+          "CAST(COALESCE(w, 1.0) AS DOUBLE)")
       else
-        edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)").queryExecution.toRdd
-          .map(ir => (ir.getLong(0), (ir.getLong(1), 1.0))))
-        .partitionBy(hp)
-        // SER: boxed edge tuples held deserialized would cost ~64 B/edge
-        // (29 GB at 460M edges); the serialized form is ~4× smaller and
-        // is read only three times (vertices, degrees, tile build)
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        edges.selectExpr("CAST(src AS LONG)", "CAST(dst AS LONG)"))
+        .queryExecution.toRdd
+    val eParts: RDD[(Int, EdgeChunk)] = scan.mapPartitions { it =>
+      val bS = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+      val bD = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+      val bW = if (wtd) Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofDouble) else null
+      it.foreach { ir =>
+        val s = ir.getLong(0)
+        val q = hp.getPartition(s)
+        bS(q) += s; bD(q) += ir.getLong(1)
+        if (bW != null) bW(q) += ir.getDouble(2)
+      }
+      Iterator.range(0, P).flatMap { q =>
+        val ss = bS(q).result()
+        bS(q) = null
+        if (ss.isEmpty) Iterator.empty
+        else {
+          val dd = bD(q).result(); bD(q) = null
+          val ww = if (bW != null) { val w = bW(q).result(); bW(q) = null; w } else null
+          Iterator.single((q, EdgeChunk(ss, dd, ww)))
+        }
+      }
+    }.partitionBy(idPart).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // distinct vertex universe, partitioned like the edges' sources
-    val verts: RDD[(Long, Null)] = eRdd
-      .mapPartitions(_.flatMap { case (s, (d, _)) => Iterator((s, null), (d, null)) },
-        preservesPartitioning = false)
-      .reduceByKey(hp, (a, _) => a)
-    // out-degree (counts parallel edges, reference pr.cpp:38-49)
-    val degs: RDD[(Long, Long)] = eRdd.mapValues(_ => 1L).reduceByKey(hp, _ + _)
-
-    // hub detection in ONE pass over the degree stream: total edge
-    // count + every source above the salting floor; the final chunk
-    // (auto mode needs E) then filters the candidate list driver-side
+    // hub detection + total edge count in ONE pass (which also
+    // materializes the chunk cache). Per-source counts are exact
+    // per-partition out-degrees here because un-salted routing is
+    // hash(src) — every source's edges sit wholly in one partition.
+    // The old separate degree reduceByKey + vertex reduceByKey tuple
+    // shuffles (profiled 0.6 s + 4.4 s at 28.8M/32c) are gone: degrees
+    // are recomputed partition-locally in compilePartition, and the
+    // vertex universe rides a packed distinct-vid chunk exchange below.
     val floor = if (hubChunk > 0) hubChunk else 65536L
-    val (totalE, hubCands) = degs.aggregate((0L, List.empty[(Long, Long)]))(
-      { case ((s, c), (v, d)) => (s + d, if (d > floor) (v, d) :: c else c) },
-      { case ((s1, c1), (s2, c2)) => (s1 + s2, c1 ::: c2) })
+    val (totalE, hubCands) = eParts.mapPartitions { it =>
+      var n = 0L
+      val cnt = new LongCounter(1 << 12)
+      it.foreach { case (_, c) =>
+        var i = 0
+        n += c.srcs.length
+        while (i < c.srcs.length) { cnt.add(c.srcs(i), 1L); i += 1 }
+      }
+      Iterator.single((n, cnt.entriesAbove(floor)))
+    }.fold((0L, List.empty[(Long, Long)])) {
+      case ((n1, l1), (n2, l2)) => (n1 + n2, l1 ::: l2)
+    }
     val chunk =
       if (hubChunk > 0) hubChunk
       else math.max(65536L, totalE / (4L * parts))
     val hubMap: Map[Long, Long] = hubCands.filter(_._2 > chunk).toMap
 
+    // distinct-vid chunks to each vid's owner partition (replaces the
+    // verts reduceByKey): per partition one dedup set over its chunk
+    // cache, then one packed array per owner
+    val vChunks: RDD[(Int, Array[Long])] = eParts.mapPartitions { it =>
+      val set = new LongCounter(1 << 12)
+      it.foreach { case (_, c) =>
+        var i = 0
+        while (i < c.srcs.length) { set.add(c.srcs(i), 1L); set.add(c.dsts(i), 1L); i += 1 }
+      }
+      val bufs = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+      set.foreachEntry((v, _) => bufs(hp.getPartition(v)) += v)
+      Iterator.range(0, P).flatMap { q =>
+        val a = bufs(q).result()
+        if (a.isEmpty) Iterator.empty else Iterator.single((q, a))
+      }
+    }.partitionBy(idPart)
+
     // hub edges re-route to a salted partition: chunk k = hash(dst) %
     // nChunks, target = hash(src, k) — deterministic, so recompiles
     // stay bit-identical. Non-hub graphs skip the extra shuffle.
-    val eTiles: RDD[(Long, (Long, Double))] =
-      if (hubMap.isEmpty) eRdd
+    val eTiles: RDD[(Int, EdgeChunk)] =
+      if (hubMap.isEmpty) eParts
       else {
         val hm = hubMap // bounded: ≤ E/chunk entries (≤ 4·parts in auto)
         val ck = chunk
-        val P = parts
-        eRdd
-          .mapPartitions(_.map { case (s, (d, w)) =>
-            val target = hm.get(s) match {
-              case Some(dg) =>
-                val nc = math.min((dg + ck - 1) / ck, P.toLong).toInt
-                val k = ((mix(d) >>> 33) % nc).toInt
-                ((mix(s + 31L * (k + 1)) >>> 33) % P).toInt
-              case None => hp.getPartition(s)
+        eParts.mapPartitions { it =>
+          val bS = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+          val bD = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
+          val bW = if (wtd) Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofDouble) else null
+          it.foreach { case (_, c) =>
+            var i = 0
+            while (i < c.srcs.length) {
+              val s = c.srcs(i); val d = c.dsts(i)
+              val target = hm.get(s) match {
+                case Some(dg) =>
+                  val nc = math.min((dg + ck - 1) / ck, P.toLong).toInt
+                  val k = ((mix(d) >>> 33) % nc).toInt
+                  ((mix(s + 31L * (k + 1)) >>> 33) % P).toInt
+                case None => hp.getPartition(s)
+              }
+              bS(target) += s; bD(target) += d
+              if (bW != null) bW(target) += c.ws(i)
+              i += 1
             }
-            (target, (s, d, w))
-          }, preservesPartitioning = false)
-          .partitionBy(idPart)
-          .mapPartitions(_.map { case (_, (s, d, w)) => (s, (d, w)) },
-            preservesPartitioning = false)
+          }
+          Iterator.range(0, P).flatMap { q =>
+            val ss = bS(q).result()
+            bS(q) = null
+            if (ss.isEmpty) Iterator.empty
+            else {
+              val dd = bD(q).result(); bD(q) = null
+              val ww = if (bW != null) { val w = bW(q).result(); bW(q) = null; w } else null
+              Iterator.single((q, EdgeChunk(ss, dd, ww)))
+            }
+          }
+        }.partitionBy(idPart)
       }
 
     // No materializing count() here: the nV/nE fold job below computes
     // `compiled` in its meta shuffle-map stage, which caches these
     // partitions as a side effect — one job fewer per compile.
     val compiled: RDD[(KernelPartition, Array[Array[Long]])] =
-      verts.zipPartitions(degs, eTiles, preservesPartitioning = true) { (vIt, dIt, eIt) =>
-        Iterator.single(compilePartition(parts, hp, hubMap, vIt, dIt, eIt, weighted))
+      vChunks.zipPartitions(eTiles, preservesPartitioning = true) { (vIt, eIt) =>
+        Iterator.single(compilePartition(parts, hp, hubMap, vIt, eIt, weighted))
       }.persist(StorageLevel.MEMORY_AND_DISK)
 
     // one-time exchange of each tile's (sorted) destination-id list to
@@ -1759,35 +1872,61 @@ object SpmvKernel {
         kp.mirrorVids.length.toLong))
       .fold((0L, 0L, 0L)) { case ((v1, e1, m1), (v2, e2, m2)) =>
         (v1 + v2, e1 + e2, m1 + m2) }
-    eRdd.unpersist(false) // kernel + compiled are materialized now
+    eParts.unpersist(false) // kernel + compiled are materialized now
     compiled.unpersist(false)
     new CompiledGraph(kernel, spark, parts, nV, nE, weighted, nMir)
   }
 
   private def compilePartition(
       P: Int, hp: HashPartitioner, hubMap: Map[Long, Long],
-      vIt: Iterator[(Long, Null)], dIt: Iterator[(Long, Long)],
-      eIt: Iterator[(Long, (Long, Double))],
+      vIt: Iterator[(Int, Array[Long])], eIt: Iterator[(Int, EdgeChunk)],
       weighted: Boolean): (KernelPartition, Array[Array[Long]]) = {
-    val vids = vIt.map(_._1).toArray
-    java.util.Arrays.sort(vids)
+    // owned vid universe: merge the per-sender distinct-vid chunks,
+    // sort, dedup in place
+    val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+    vIt.foreach { case (_, a) => vb ++= a }
+    val vids = {
+      val raw = vb.result()
+      java.util.Arrays.sort(raw)
+      var u = -1; var i = 0
+      while (i < raw.length) {
+        if (u < 0 || raw(i) != raw(u)) { u += 1; raw(u) = raw(i) }
+        i += 1
+      }
+      java.util.Arrays.copyOf(raw, u + 1)
+    }
     val nOwned = vids.length
     val vidSlot = new LongIntMap(nOwned)
     var vi = 0
     while (vi < nOwned) { vidSlot.put(vids(vi), vi); vi += 1 }
     val deg = new Array[Long](nOwned)
 
-    // bucket edges by destination partition, collecting the sources a
-    // salted compile routed here that this partition does NOT own
+    // bucket edges by destination partition, counting owned out-degrees
+    // as they stream by (un-salted sources are wholly local, so the
+    // local count IS the out-degree; salted hubs are overridden from
+    // hubMap below) and collecting the sources a salted compile routed
+    // here that this partition does NOT own
     val bufS = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
     val bufD = Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofLong)
     val bufW = if (weighted) Array.fill(P)(new scala.collection.mutable.ArrayBuilder.ofDouble) else null
     val mirrorB = new scala.collection.mutable.ArrayBuilder.ofLong
-    eIt.foreach { case (s, (d, w)) =>
-      val q = hp.getPartition(d)
-      bufS(q) += s; bufD(q) += d
-      if (bufW != null) bufW(q) += w
-      if (vidSlot.getOrElse(s, -1) < 0) mirrorB += s
+    eIt.foreach { case (_, c) =>
+      var i = 0
+      while (i < c.srcs.length) {
+        val s = c.srcs(i); val d = c.dsts(i)
+        val q = hp.getPartition(d)
+        bufS(q) += s; bufD(q) += d
+        if (bufW != null) bufW(q) += c.ws(i)
+        val sl = vidSlot.getOrElse(s, -1)
+        if (sl < 0) mirrorB += s else deg(sl) += 1
+        i += 1
+      }
+    }
+    // owned salted hubs: the local count misses the chunks routed to
+    // other partitions — the hub map carries the full out-degree
+    hubMap.foreach { case (h, dg) =>
+      val sl = vidSlot.getOrElse(h, -1)
+      if (sl >= 0) deg(sl) = dg
     }
     // sorted, deduped mirror list → deterministic mirror slot order
     val mirrorVids = {
@@ -1808,16 +1947,14 @@ object SpmvKernel {
       if (o >= 0) o else nOwned + mirrorSlot.get(s)
     }
 
-    // combined invDeg: owned (from the degree stream) ++ mirror (from
-    // the hub map — a mirror is by construction a hub, whose full
-    // out-degree the map carries)
+    // combined invDeg: owned (from the local counts / hub override
+    // above) ++ mirror (from the hub map — a mirror is by construction
+    // a hub, whose full out-degree the map carries)
     val invDeg = new Array[Double](nOwned + mirrorVids.length)
-    dIt.foreach { case (v, d) =>
-      if (d > 0) {
-        val s = vidSlot.get(v)
-        deg(s) = d
-        invDeg(s) = 1.0 / d
-      }
+    var di0 = 0
+    while (di0 < nOwned) {
+      if (deg(di0) > 0) invDeg(di0) = 1.0 / deg(di0)
+      di0 += 1
     }
     mi = 0
     while (mi < mirrorVids.length) {

@@ -73,26 +73,52 @@ object EdgeListSource {
     import java.io.{BufferedOutputStream, FileOutputStream}
     val out = new BufferedOutputStream(new FileOutputStream(path))
     try {
-      val it = edges.select(
-        col("src").cast("long"), col("dst").cast("long"),
-        coalesce(col("w").cast("double"), lit(1.0))).toLocalIterator()
-      val buf = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var i = 0L
-      while (it.hasNext) {
-        val r = it.next()
-        buf.clear()
-        buf.putInt((r.getLong(0) + displace).toInt)
-        buf.putInt((r.getLong(1) + displace).toInt)
-        if (weighted) {
-          val w = synthWeightSeed match {
-            case Some(seed) =>
-              (1L + (graft.functions.StableHash.mix64(seed ^ i) >>> 1) % 128L).toInt
-            case None => r.getDouble(2).toInt
+      synthWeightSeed match {
+        case None =>
+          // Record ENCODE runs executor-side, one byte blob per
+          // partition; the driver streams the blobs in partition order
+          // — identical bytes to the old per-row driver loop (same
+          // record order: partition order × within-partition order)
+          // without pulling 10^5-10^6 boxed Rows through the driver.
+          val wtd = weighted
+          val disp = displace
+          val blobs = edges.select(
+            col("src").cast("long"), col("dst").cast("long"),
+            coalesce(col("w").cast("double"), lit(1.0)))
+            .queryExecution.toRdd.mapPartitions { it =>
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = java.nio.ByteBuffer.allocate(12)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              it.foreach { r =>
+                buf.clear()
+                buf.putInt((r.getLong(0) + disp).toInt)
+                buf.putInt((r.getLong(1) + disp).toInt)
+                if (wtd) buf.putInt(r.getDouble(2).toInt)
+                bos.write(buf.array(), 0, if (wtd) 12 else 8)
+              }
+              Iterator.single(bos.toByteArray)
+            }
+          blobs.toLocalIterator.foreach(out.write)
+        case Some(seed) =>
+          // synthetic weights depend on the GLOBAL record index, which
+          // only the driver's sequential walk knows — keep the row loop
+          val it = edges.select(
+            col("src").cast("long"), col("dst").cast("long"),
+            coalesce(col("w").cast("double"), lit(1.0))).toLocalIterator()
+          val buf = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            buf.clear()
+            buf.putInt((r.getLong(0) + displace).toInt)
+            buf.putInt((r.getLong(1) + displace).toInt)
+            if (weighted) {
+              buf.putInt(
+                (1L + (graft.functions.StableHash.mix64(seed ^ i) >>> 1) % 128L).toInt)
+            }
+            out.write(buf.array(), 0, if (weighted) 12 else 8)
+            i += 1
           }
-          buf.putInt(w)
-        }
-        out.write(buf.array(), 0, if (weighted) 12 else 8)
-        i += 1
       }
     } finally out.close()
   }

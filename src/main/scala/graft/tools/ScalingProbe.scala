@@ -101,6 +101,32 @@ object ScalingProbe {
     // exchange vs the engine's two-hash-aggregation superstep.
     val algo = sys.env.getOrElse("PROBE_ALGO", "pr")
 
+    // Round-6: kernel samples on a PARKED table route their compile
+    // through the durable tile cache, one subdir per (shaping variant,
+    // parts) — r5 verdict item 1: the bench's forked JVMs each paid the
+    // full three-shuffle compile (multi-minute at 460M edges / 1 core)
+    // for byte-identical tiles; with the cache the driver's recorded
+    // run (the bench runs warmup + samples) loads in seconds and the
+    // freed wall budget lands the optional samples. The reported loop
+    // metrics are computed fresh every run either way — only the
+    // build phase is cached, exactly like the parked edge tables
+    // themselves. An EXPLICIT GRAFT_KERNEL_CACHE (the bench's
+    // cold/warm cache pair) keeps its flat single-dir contract; the
+    // synthesized-corpus mode has no files to fingerprint and
+    // compiles unconditionally.
+    val parkedPath = if (args.length > 1 && isPath(args(1))) Some(args(1)) else None
+    def compiled(df: org.apache.spark.sql.DataFrame,
+                 variant: String): graft.graph.SpmvKernel.CompiledGraph =
+      sys.env.get("GRAFT_KERNEL_CACHE") match {
+        case Some(d) => graft.graph.CompiledGraphCache.compileOrLoad(
+          df, parts, d, variant = variant)
+        case None => parkedPath match {
+          case Some(p) => graft.graph.CompiledGraphCache.compileOrLoad(
+            df, parts, s"$p.kcache/$variant-p$parts", variant = variant)
+          case None => graft.graph.SpmvKernel.compile(df, parts)
+        }
+      }
+
     // build/compile-or-load seconds where the branch has a distinct
     // build phase (-1 = not applicable) — surfaced in probe-json so
     // Bench can record cold vs warm compile cost
@@ -114,7 +140,7 @@ object ScalingProbe {
         val und = GraphShaping.shape(edges,
           EdgeShaping(selfLoops = false, directed = false, parallelEdges = false))
           .select("src", "dst")
-        val g = graft.graph.SpmvKernel.compile(und, parts)
+        val g = compiled(und, "lpa-und")
         val tBuild = (System.nanoTime() - t0) / 1e9
         buildSec = tBuild
         println(f"[probe] mode=kernel-$algo cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
@@ -140,7 +166,7 @@ object ScalingProbe {
       } else if (kernelMode && algo == "cc") {
         val und = GraphShaping.shape(edges,
           EdgeShaping(directed = false, parallelEdges = false)).select("src", "dst")
-        val g = graft.graph.SpmvKernel.compile(und, parts)
+        val g = compiled(und, "cc-und")
         val tBuild = (System.nanoTime() - t0) / 1e9
         buildSec = tBuild
         println(f"[probe] mode=kernel-cc cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
@@ -168,7 +194,7 @@ object ScalingProbe {
         // ITERATION COUNT is exactly what the engine would report, at
         // a fraction of the bench budget — which is what kept this
         // sample from being shed in round 4.
-        val g = graft.graph.SpmvKernel.compile(edges, parts)
+        val g = compiled(edges, "raw")
         val tBuild = (System.nanoTime() - t0) / 1e9
         buildSec = tBuild
         println(f"[probe] mode=kernel-conv cores=$cores parts=$parts V=${g.numVertices} E=${g.numEdges} buildSec=$tBuild%.1f")
@@ -182,10 +208,7 @@ object ScalingProbe {
         // durable tile cache: a fingerprint-matching dir loads instead
         // of compiling (warm buildSec ≈ read cost), a miss compiles and
         // saves — the Bench cold/warm pair measures both
-        val g = sys.env.get("GRAFT_KERNEL_CACHE") match {
-          case Some(d) => graft.graph.CompiledGraphCache.compileOrLoad(edges, parts, d)
-          case None => graft.graph.SpmvKernel.compile(edges, parts)
-        }
+        val g = compiled(edges, "raw")
         val tBuild = (System.nanoTime() - t0) / 1e9
         buildSec = tBuild
         // mirrors > 0 ⇒ the auto hub-salting engaged (a source owned
